@@ -1,0 +1,398 @@
+"""DPM-Solver / DPM-Solver++ for fast few-step sampling.
+
+Behavioural spec: /root/reference/diffusion/model/dpm_solver.py
+(NoiseScheduleVP :5-170, model_wrapper :172-336, first/second/third multistep
+updates :551-944, sample() :1069-1283) and /root/reference/diffusion/dpm_solver.py
+(the DPMS facade).
+
+TPU-first design differences from the reference:
+
+- ALL schedule math (timestep grids, lambda/alpha/sigma at each step, the
+  phi coefficients) is precomputed host-side in float64 numpy and enters the
+  jitted program as compile-time constants. The reference instead interpolates
+  log-alpha on device every step in float32 (`dpm_solver.py:114-170`); the
+  host-side f64 precompute is strictly more accurate and removes per-step
+  gather/interp work from the device program.
+- The sampling loop is unrolled under jit over a static step count, so the
+  entire trajectory (CFG batching included) compiles into one XLA program
+  with no host round-trips.
+- Model calls take a static Python-float continuous time; the caller's
+  wrapper broadcasts it and applies classifier-free guidance.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+# model_fn(x, t_continuous: float) -> noise prediction, same shape as x
+ContinuousModelFn = Callable[[jnp.ndarray, float], jnp.ndarray]
+
+
+class NoiseScheduleVP:
+    """VP-SDE noise schedule wrapper (host-side, float64 numpy).
+
+    Discrete mode converts a length-N beta/alpha_cumprod array into a
+    piecewise-linear log-alpha(t) on t_i = (i+1)/N; continuous mode is the
+    linear VPSDE. Includes the reference's cosine-schedule log-SNR clip at
+    lambda = -5.1 (dpm_solver.py:117-128).
+    """
+
+    def __init__(
+        self,
+        schedule: str = "discrete",
+        betas: Optional[np.ndarray] = None,
+        alphas_cumprod: Optional[np.ndarray] = None,
+        continuous_beta_0: float = 0.1,
+        continuous_beta_1: float = 20.0,
+    ):
+        if schedule not in ("discrete", "linear"):
+            raise ValueError(f"unsupported schedule {schedule}")
+        self.schedule = schedule
+        if schedule == "discrete":
+            if betas is not None:
+                log_alphas = 0.5 * np.cumsum(
+                    np.log(1.0 - np.asarray(betas, dtype=np.float64))
+                )
+            else:
+                log_alphas = 0.5 * np.log(np.asarray(alphas_cumprod, dtype=np.float64))
+            self.T = 1.0
+            log_alphas = self._clip_log_alphas(log_alphas)
+            self.log_alpha_array = log_alphas
+            self.total_N = len(log_alphas)
+            self.t_array = np.linspace(0.0, 1.0, self.total_N + 1)[1:]
+        else:
+            self.T = 1.0
+            self.total_N = 1000
+            self.beta_0 = continuous_beta_0
+            self.beta_1 = continuous_beta_1
+
+    @staticmethod
+    def _clip_log_alphas(
+        log_alphas: np.ndarray, clipped_lambda: float = -5.1
+    ) -> np.ndarray:
+        """Drop the tail where log-SNR < -5.1 (numerical stability, cosine)."""
+        log_sigmas = 0.5 * np.log(1.0 - np.exp(2.0 * log_alphas))
+        lambs = log_alphas - log_sigmas
+        # number of trailing entries with lambda below the clip threshold
+        idx = int(np.searchsorted(lambs[::-1], clipped_lambda))
+        return log_alphas[: len(log_alphas) - idx] if idx > 0 else log_alphas
+
+    # ---- all methods take/return float64 numpy scalars or arrays ----------
+    def marginal_log_mean_coeff(self, t):
+        if self.schedule == "discrete":
+            return np.interp(t, self.t_array, self.log_alpha_array)
+        return -0.25 * t**2 * (self.beta_1 - self.beta_0) - 0.5 * t * self.beta_0
+
+    def marginal_alpha(self, t):
+        return np.exp(self.marginal_log_mean_coeff(t))
+
+    def marginal_std(self, t):
+        return np.sqrt(1.0 - np.exp(2.0 * self.marginal_log_mean_coeff(t)))
+
+    def marginal_lambda(self, t):
+        log_mean = self.marginal_log_mean_coeff(t)
+        return log_mean - 0.5 * np.log(1.0 - np.exp(2.0 * log_mean))
+
+    def inverse_lambda(self, lamb):
+        if self.schedule == "linear":
+            tmp = (
+                2.0
+                * (self.beta_1 - self.beta_0)
+                * np.logaddexp(-2.0 * lamb, 0.0)
+            )
+            delta = self.beta_0**2 + tmp
+            return tmp / (np.sqrt(delta) + self.beta_0) / (self.beta_1 - self.beta_0)
+        log_alpha = -0.5 * np.logaddexp(0.0, -2.0 * lamb)
+        # log_alpha_array is decreasing in t; flip for interp
+        return np.interp(
+            log_alpha, self.log_alpha_array[::-1], self.t_array[::-1]
+        )
+
+    def model_input_time(self, t_continuous):
+        """Continuous t in [1/N, 1] -> discrete model input in [0, 1000(N-1)/N]."""
+        if self.schedule == "discrete":
+            return (t_continuous - 1.0 / self.total_N) * 1000.0
+        return t_continuous
+
+
+def get_time_steps(
+    ns: NoiseScheduleVP, skip_type: str, t_T: float, t_0: float, N: int
+) -> np.ndarray:
+    """The N+1 boundary times for N solver steps (host-side f64)."""
+    if skip_type == "logSNR":
+        lam_T = ns.marginal_lambda(t_T)
+        lam_0 = ns.marginal_lambda(t_0)
+        return ns.inverse_lambda(np.linspace(lam_T, lam_0, N + 1))
+    if skip_type == "time_uniform":
+        return np.linspace(t_T, t_0, N + 1)
+    if skip_type == "time_quadratic":
+        return np.linspace(math.sqrt(t_T), math.sqrt(t_0), N + 1) ** 2
+    raise ValueError(f"unsupported skip_type {skip_type}")
+
+
+class DPMSolver:
+    """DPM-Solver(++) with multistep/singlestep methods, orders 1-3.
+
+    `model_fn(x, t_continuous)` must return the NOISE prediction (the caller
+    wraps x_start/v/score-type models and CFG; see `make_cfg_model_fn`).
+    """
+
+    def __init__(
+        self,
+        model_fn: ContinuousModelFn,
+        noise_schedule: NoiseScheduleVP,
+        algorithm_type: str = "dpmsolver++",
+        correcting_x0_fn: Optional[Callable] = None,
+    ):
+        assert algorithm_type in ("dpmsolver", "dpmsolver++")
+        self.noise_fn = model_fn
+        self.ns = noise_schedule
+        self.algorithm_type = algorithm_type
+        self.correcting_x0_fn = correcting_x0_fn
+
+    # -------------------------------------------------------------- models
+    def model(self, x, t: float):
+        """Data prediction (dpmsolver++) or noise prediction (dpmsolver)."""
+        if self.algorithm_type == "dpmsolver++":
+            eps = self.noise_fn(x, t)
+            alpha_t = float(self.ns.marginal_alpha(t))
+            sigma_t = float(self.ns.marginal_std(t))
+            x0 = (x - sigma_t * eps) / alpha_t
+            if self.correcting_x0_fn is not None:
+                x0 = self.correcting_x0_fn(x0, t)
+            return x0
+        return self.noise_fn(x, t)
+
+    # ------------------------------------------------------------- updates
+    def _coeffs(self, t: float):
+        ns = self.ns
+        return (
+            float(ns.marginal_lambda(t)),
+            float(ns.marginal_log_mean_coeff(t)),
+            float(ns.marginal_std(t)),
+        )
+
+    def first_update(self, x, s: float, t: float, model_s=None):
+        """Order-1 step (== DDIM for dpmsolver++). Spec :551-597."""
+        lam_s, log_a_s, sig_s = self._coeffs(s)
+        lam_t, log_a_t, sig_t = self._coeffs(t)
+        h = lam_t - lam_s
+        if model_s is None:
+            model_s = self.model(x, s)
+        if self.algorithm_type == "dpmsolver++":
+            phi_1 = math.expm1(-h)
+            return (sig_t / sig_s) * x - (math.exp(log_a_t) * phi_1) * model_s
+        phi_1 = math.expm1(h)
+        return math.exp(log_a_t - log_a_s) * x - (sig_t * phi_1) * model_s
+
+    def multistep_second_update(
+        self, x, model_prev: Sequence, t_prev: Sequence[float], t: float,
+        solver_type: str = "dpmsolver",
+    ):
+        """Order-2 multistep (Adams-Bashforth-like). Spec :805-863."""
+        m1, m0 = model_prev[-2], model_prev[-1]
+        t1, t0 = t_prev[-2], t_prev[-1]
+        lam1, _, _ = self._coeffs(t1)
+        lam0, log_a0, sig0 = self._coeffs(t0)
+        lam_t, log_a_t, sig_t = self._coeffs(t)
+        h0 = lam0 - lam1
+        h = lam_t - lam0
+        r0 = h0 / h
+        d1_0 = (1.0 / r0) * (m0 - m1)
+        alpha_t = math.exp(log_a_t)
+        if self.algorithm_type == "dpmsolver++":
+            phi_1 = math.expm1(-h)
+            if solver_type == "dpmsolver":
+                return (
+                    (sig_t / sig0) * x
+                    - (alpha_t * phi_1) * m0
+                    - 0.5 * (alpha_t * phi_1) * d1_0
+                )
+            # taylor
+            return (
+                (sig_t / sig0) * x
+                - (alpha_t * phi_1) * m0
+                + (alpha_t * (phi_1 / h + 1.0)) * d1_0
+            )
+        phi_1 = math.expm1(h)
+        if solver_type == "dpmsolver":
+            return (
+                math.exp(log_a_t - log_a0) * x
+                - (sig_t * phi_1) * m0
+                - 0.5 * (sig_t * phi_1) * d1_0
+            )
+        return (
+            math.exp(log_a_t - log_a0) * x
+            - (sig_t * phi_1) * m0
+            - (sig_t * (phi_1 / h - 1.0)) * d1_0
+        )
+
+    def multistep_third_update(
+        self, x, model_prev: Sequence, t_prev: Sequence[float], t: float,
+        solver_type: str = "dpmsolver",
+    ):
+        """Order-3 multistep. Spec :864-944."""
+        m2, m1, m0 = model_prev[-3], model_prev[-2], model_prev[-1]
+        t2, t1, t0 = t_prev[-3], t_prev[-2], t_prev[-1]
+        lam2, _, _ = self._coeffs(t2)
+        lam1, _, _ = self._coeffs(t1)
+        lam0, log_a0, sig0 = self._coeffs(t0)
+        lam_t, log_a_t, sig_t = self._coeffs(t)
+        h1 = lam1 - lam2
+        h0 = lam0 - lam1
+        h = lam_t - lam0
+        r0, r1 = h0 / h, h1 / h
+        d1_0 = (1.0 / r0) * (m0 - m1)
+        d1_1 = (1.0 / r1) * (m1 - m2)
+        d1 = d1_0 + (r0 / (r0 + r1)) * (d1_0 - d1_1)
+        d2 = (1.0 / (r0 + r1)) * (d1_0 - d1_1)
+        alpha_t = math.exp(log_a_t)
+        if self.algorithm_type == "dpmsolver++":
+            phi_1 = math.expm1(-h)
+            phi_2 = phi_1 / h + 1.0
+            phi_3 = phi_2 / h - 0.5
+            return (
+                (sig_t / sig0) * x
+                - (alpha_t * phi_1) * m0
+                + (alpha_t * phi_2) * d1
+                - (alpha_t * phi_3) * d2
+            )
+        phi_1 = math.expm1(h)
+        phi_2 = phi_1 / h - 1.0
+        phi_3 = phi_2 / h - 0.5
+        return (
+            math.exp(log_a_t - log_a0) * x
+            - (sig_t * phi_1) * m0
+            - (sig_t * phi_2) * d1
+            - (sig_t * phi_3) * d2
+        )
+
+    def multistep_update(self, x, model_prev, t_prev, t, order, solver_type):
+        if order == 1:
+            return self.first_update(x, t_prev[-1], t, model_s=model_prev[-1])
+        if order == 2:
+            return self.multistep_second_update(x, model_prev, t_prev, t, solver_type)
+        if order == 3:
+            return self.multistep_third_update(x, model_prev, t_prev, t, solver_type)
+        raise ValueError(f"order must be 1/2/3, got {order}")
+
+    # -------------------------------------------------------------- sample
+    def sample(
+        self,
+        x: jnp.ndarray,
+        steps: int = 20,
+        t_start: Optional[float] = None,
+        t_end: Optional[float] = None,
+        order: int = 2,
+        skip_type: str = "time_uniform",
+        method: str = "multistep",
+        lower_order_final: bool = True,
+        denoise_to_zero: bool = False,
+        solver_type: str = "dpmsolver",
+    ) -> jnp.ndarray:
+        """Sample from t_start to t_end; spec sample() :1069-1283 (multistep).
+
+        Pure function of `x` given static step config — safe to wrap in jit.
+        """
+        t_0 = (1.0 / self.ns.total_N) if t_end is None else t_end
+        t_T = self.ns.T if t_start is None else t_start
+        assert t_0 > 0 and t_T > 0
+
+        if method != "multistep":
+            raise NotImplementedError(
+                f"method={method}; multistep is the production path "
+                "(singlestep/adaptive tracked for a later round)"
+            )
+        assert steps >= order
+        ts = [float(t) for t in get_time_steps(self.ns, skip_type, t_T, t_0, steps)]
+
+        t_prev = [ts[0]]
+        model_prev = [self.model(x, ts[0])]
+        # warm up with lower orders
+        for step in range(1, order):
+            t = ts[step]
+            x = self.multistep_update(x, model_prev, t_prev, t, step, solver_type)
+            t_prev.append(t)
+            model_prev.append(self.model(x, t))
+        # main loop at full order (lower order for the tail when requested)
+        for step in range(order, steps + 1):
+            t = ts[step]
+            step_order = min(order, steps + 1 - step) if lower_order_final else order
+            x = self.multistep_update(x, model_prev, t_prev, t, step_order, solver_type)
+            t_prev = t_prev[1:] + [t]
+            if step < steps:
+                model_prev = model_prev[1:] + [self.model(x, t)]
+        if denoise_to_zero:
+            x = self.denoise_to_zero(x, ts[-1])
+        return x
+
+    def denoise_to_zero(self, x, s: float):
+        """Final x0 projection at time s (one extra NFE)."""
+        return self.first_update(x, s, 1.0 / self.ns.total_N)
+
+
+def make_cfg_model_fn(
+    apply_fn,
+    ns: NoiseScheduleVP,
+    condition,
+    uncondition,
+    cfg_scale: float,
+    model_type: str = "noise",
+    model_kwargs: Optional[dict] = None,
+) -> ContinuousModelFn:
+    """Classifier-free-guided continuous-time noise predictor.
+
+    Spec: model_wrapper at dpm_solver.py:172-336 + the DPMS facade at
+    diffusion/dpm_solver.py:6-36. `apply_fn(x, t_model, cond, **kwargs)` is
+    the network (e.g. PixArt forward_with_dpmsolver); cond/uncond are batched
+    into one 2B forward exactly like the reference.
+    """
+    model_kwargs = model_kwargs or {}
+    assert model_type in ("noise", "x_start", "v", "score")
+
+    def to_noise(x, t_cont, out):
+        if model_type == "noise":
+            return out
+        alpha_t = float(ns.marginal_alpha(t_cont))
+        sigma_t = float(ns.marginal_std(t_cont))
+        if model_type == "x_start":
+            return (x - alpha_t * out) / sigma_t
+        if model_type == "v":
+            return alpha_t * out + sigma_t * x
+        return -sigma_t * out  # score
+
+    def model_fn(x, t_cont: float):
+        t_model = float(ns.model_input_time(t_cont))
+        if cfg_scale == 1.0 or uncondition is None:
+            t_vec = jnp.full((x.shape[0],), t_model, dtype=jnp.float32)
+            out = apply_fn(x, t_vec, condition, **model_kwargs)
+            return to_noise(x, t_cont, out)
+        x_in = jnp.concatenate([x, x], axis=0)
+        t_vec = jnp.full((x_in.shape[0],), t_model, dtype=jnp.float32)
+        c_in = jnp.concatenate([uncondition, condition], axis=0)
+        out = apply_fn(x_in, t_vec, c_in, **model_kwargs)
+        noise = to_noise(x_in, t_cont, out)
+        noise_uncond, noise_cond = jnp.split(noise, 2, axis=0)
+        return noise_uncond + cfg_scale * (noise_cond - noise_uncond)
+
+    return model_fn
+
+
+def dpm_solver_sample(
+    model_fn: ContinuousModelFn,
+    betas: np.ndarray,
+    x: jnp.ndarray,
+    steps: int = 20,
+    order: int = 2,
+    cfg_already_applied: bool = True,
+    **kwargs,
+) -> jnp.ndarray:
+    """One-call helper: build schedule + solver and sample (dpmsolver++)."""
+    del cfg_already_applied
+    ns = NoiseScheduleVP("discrete", betas=betas)
+    solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
+    return solver.sample(x, steps=steps, order=order, **kwargs)

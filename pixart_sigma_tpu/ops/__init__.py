@@ -1,0 +1,3 @@
+"""TPU compute primitives: positional embeddings, attention, Pallas kernels."""
+
+from pixart_sigma_tpu.ops.pos_embed import get_2d_sincos_pos_embed  # noqa: F401

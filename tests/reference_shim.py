@@ -1,0 +1,80 @@
+"""Import the READ-ONLY reference (torch) implementation for parity tests.
+
+The reference depends on CUDA-era packages absent here (timm, xformers, mmcv,
+torchvision); this shim installs inert stand-ins so its pure-math modules
+import. We only ever *call* the reference's numerics in tests to check ours
+against it — no reference code is vendored into the framework.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import types
+
+REFERENCE_PATH = "/root/reference"
+_installed = False
+
+
+def _stub(name: str, **attrs) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    mod.__path__ = []  # let it act as a package for submodule imports
+    for key, val in attrs.items():
+        setattr(mod, key, val)
+    sys.modules[name] = mod
+    return mod
+
+
+def install_reference() -> None:
+    """Make `import diffusion...` resolve against /root/reference."""
+    global _installed
+    if _installed:
+        return
+    import torch.nn as nn
+
+    class _Mod(nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    class _Registry:
+        def __init__(self, *a, **k):
+            pass
+
+        def register_module(self, *a, **k):
+            def deco(cls):
+                return cls
+
+            return deco
+
+    class _Any:
+        def __init__(self, *a, **k):
+            pass
+
+        def __getattr__(self, name):
+            return _Any()
+
+        def __call__(self, *a, **k):
+            return _Any()
+
+    _stub("timm")
+    _stub("timm.models")
+    _stub("timm.models.layers", DropPath=_Mod)
+    _stub("timm.models.vision_transformer", PatchEmbed=_Mod, Mlp=_Mod, Attention=_Mod)
+    _stub("xformers")
+    _stub("xformers.ops", memory_efficient_attention=None)
+    _stub("xformers.ops.fmha")
+    _stub("xformers.ops.fmha.attn_bias", BlockDiagonalMask=_Any)
+    _stub("mmcv", Registry=_Registry)
+    _stub("mmcv.runner", get_dist_info=lambda: (0, 1))
+    _stub("mmcv.utils")
+    _stub(
+        "mmcv.utils.logging",
+        logger_initialized={},
+        get_logger=lambda *a, **k: logging.getLogger("ref"),
+    )
+    _stub("torchvision", transforms=_Any())
+    _stub("torchvision.transforms", InterpolationMode=_Any())
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    _installed = True
