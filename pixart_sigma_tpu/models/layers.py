@@ -1,0 +1,421 @@
+"""DiT building blocks: embedders, adaLN-single modulation, attention layers.
+
+Behavioural spec: /root/reference/diffusion/model/nets/PixArt_blocks.py
+(t2i_modulate :24, MultiHeadCrossAttention :28-58, AttentionKVCompress
+:61-158, T2IFinalLayer :205-221, TimestepEmbedder :267-309, SizeEmbedder
+:312-344, CaptionEmbedder :378-407) and PixArtMS.py PatchEmbed :22-46.
+
+TPU-first choices:
+- channel-last everywhere; PatchEmbed is reshape+Dense (identical math to the
+  reference's stride-p conv, but lowers to a single MXU matmul)
+- cross-attention uses a padded [B, L] mask instead of ragged packing
+- KV compression's 'conv' mode is a depthwise conv expressed as
+  lax.conv_general_dilated with feature_group_count=dim (maps to XLA:TPU
+  depthwise conv); 'ave'/'uniform' are strided slices
+- all Dense layers take a compute dtype (bf16 for training/inference) with
+  fp32 params
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pixart_sigma_tpu.ops.attention import attention
+
+Dtype = Any
+
+# init matching the reference: xavier-uniform linens, zeros bias
+xavier = nn.initializers.xavier_uniform()
+normal02 = nn.initializers.normal(stddev=0.02)
+zeros = nn.initializers.zeros
+
+
+def t2i_modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray):
+    """adaLN-single modulation: x * (1 + scale) + shift (broadcast over tokens)."""
+    return x * (1 + scale) + shift
+
+
+def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.gelu(x, approximate=True)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP (timm Mlp semantics: fc1 -> act -> fc2)."""
+
+    hidden_features: int
+    out_features: int
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = xavier
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(
+            self.hidden_features, dtype=self.dtype, kernel_init=self.kernel_init,
+            name="fc1",
+        )(x)
+        x = gelu_tanh(x)
+        x = nn.Dense(
+            self.out_features, dtype=self.dtype, kernel_init=self.kernel_init,
+            name="fc2",
+        )(x)
+        return x
+
+
+def timestep_embedding(
+    t: jnp.ndarray, dim: int, max_period: int = 10000
+) -> jnp.ndarray:
+    """Sinusoidal features, [B] -> [B, dim]; cos first (GLIDE convention)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal(256) -> Dense -> SiLU -> Dense."""
+
+    hidden_size: int
+    freq_embed_size: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        x = timestep_embedding(t, self.freq_embed_size).astype(self.dtype)
+        x = nn.Dense(
+            self.hidden_size, dtype=self.dtype, kernel_init=normal02, name="fc1"
+        )(x)
+        x = nn.silu(x)
+        x = nn.Dense(
+            self.hidden_size, dtype=self.dtype, kernel_init=normal02, name="fc2"
+        )(x)
+        return x
+
+
+class SizeEmbedder(nn.Module):
+    """Embed per-sample size scalars; [B, d] -> [B, d * hidden_size]."""
+
+    hidden_size: int
+    freq_embed_size: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, s: jnp.ndarray) -> jnp.ndarray:
+        if s.ndim == 1:
+            s = s[:, None]
+        b, dims = s.shape
+        x = timestep_embedding(s.reshape(-1), self.freq_embed_size).astype(self.dtype)
+        x = nn.Dense(
+            self.hidden_size, dtype=self.dtype, kernel_init=normal02, name="fc1"
+        )(x)
+        x = nn.silu(x)
+        x = nn.Dense(
+            self.hidden_size, dtype=self.dtype, kernel_init=normal02, name="fc2"
+        )(x)
+        return x.reshape(b, dims * self.hidden_size)
+
+
+class CaptionEmbedder(nn.Module):
+    """Project T5 features to hidden size; CFG token-drop to a learned null.
+
+    y_embedding is the learned null caption ([token_num, in_channels]); during
+    training each sample's caption is replaced by it with prob uncond_prob
+    (rng collection 'caption_drop'), or as forced by `force_drop_ids`.
+    """
+
+    in_channels: int
+    hidden_size: int
+    uncond_prob: float = 0.1
+    token_num: int = 120
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        caption: jnp.ndarray,  # [B, L, in_channels]
+        train: bool = False,
+        force_drop_ids: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        y_embedding = self.param(
+            "y_embedding",
+            nn.initializers.normal(stddev=self.in_channels**-0.5),
+            (self.token_num, self.in_channels),
+        )
+        if (train and self.uncond_prob > 0) or force_drop_ids is not None:
+            if force_drop_ids is None:
+                rng = self.make_rng("caption_drop")
+                drop = jax.random.uniform(rng, (caption.shape[0],)) < self.uncond_prob
+            else:
+                drop = force_drop_ids == 1
+            caption = jnp.where(
+                drop[:, None, None], y_embedding.astype(caption.dtype), caption
+            )
+        return Mlp(
+            hidden_features=self.hidden_size,
+            out_features=self.hidden_size,
+            dtype=self.dtype,
+            kernel_init=normal02,
+            name="y_proj",
+        )(caption.astype(self.dtype))
+
+
+class PatchEmbed(nn.Module):
+    """Patchify + linear: [B, H, W, C] -> [B, H/p * W/p, D].
+
+    Equivalent to the reference's Conv2d(k=p, s=p) (PixArtMS.py:38) but as a
+    reshape + one MXU matmul. Patch-vector order is (p_row, p_col, channel),
+    matching the converter's conv-weight flattening.
+    """
+
+    patch_size: int
+    embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        p = self.patch_size
+        assert H % p == 0 and W % p == 0, f"{(H, W)} not divisible by {p}"
+        x = x.reshape(B, H // p, p, W // p, p, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, (H // p) * (W // p), p * p * C)
+        return nn.Dense(
+            self.embed_dim, dtype=self.dtype, kernel_init=xavier, name="proj"
+        )(x.astype(self.dtype))
+
+
+class SelfAttentionKVCompress(nn.Module):
+    """Self-attention with optional Sigma KV token compression and QK-norm.
+
+    Spec: AttentionKVCompress (PixArt_blocks.py:61-158). KV compression
+    spatially downsamples K and V by sr_ratio before attention:
+      - 'conv': depthwise conv k=s=sr (avg-init) + LayerNorm (learned)
+      - 'ave' / 'uniform': strided subsample (identical for integer ratios)
+      - 'uniform_every': every sr-th token of the flattened sequence
+    QK-norm is LayerNorm over the FULL model dim before head split,
+    matching the reference (:90-95,133-134).
+    """
+
+    dim: int
+    num_heads: int
+    sampling: Optional[str] = None
+    sr_ratio: int = 1
+    qk_norm: bool = False
+    fp32_attention: bool = False
+    attn_impl: str = "auto"
+    hw: Optional[tuple[int, int]] = None  # static latent grid (h, w)
+    dtype: Dtype = jnp.float32
+
+    def _downsample(self, t: jnp.ndarray, H: int, W: int, conv_params) -> jnp.ndarray:
+        """[B, N, C] -> [B, N/sr^2, C] spatial downsample.
+
+        `conv_params` (kernel, bias, norm) is created once in __call__ and
+        shared between K and V, matching the reference's single `self.sr`.
+        """
+        sr = self.sr_ratio
+        B, N, C = t.shape
+        if self.sampling == "uniform_every":
+            return t[:, ::sr]
+        t = t.reshape(B, H, W, C)
+        if self.sampling in ("ave", "uniform"):
+            # nearest-neighbour downsample == strided subsample for integer sr
+            t = t[:, ::sr, ::sr, :]
+        elif self.sampling == "conv":
+            kernel, bias, norm = conv_params
+            t = jax.lax.conv_general_dilated(
+                t.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(sr, sr),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=C,
+            ) + bias.astype(self.dtype)
+            t = norm(t)
+        else:
+            raise ValueError(f"unknown sampling {self.sampling}")
+        return t.reshape(B, -1, C)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, C = x.shape
+        H, W = self.hw if self.hw is not None else (int(N**0.5), int(N**0.5))
+        qkv = nn.Dense(3 * C, dtype=self.dtype, kernel_init=xavier, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if self.qk_norm:
+            q = nn.LayerNorm(dtype=self.dtype, name="q_norm")(q)
+            k = nn.LayerNorm(dtype=self.dtype, name="k_norm")(k)
+        if self.sr_ratio > 1 and self.sampling is not None:
+            conv_params = None
+            if self.sampling == "conv":
+                sr = self.sr_ratio
+                kernel = self.param(
+                    "sr_kernel",
+                    lambda key, shape, dtype: jnp.full(shape, 1.0 / sr**2, dtype),
+                    (sr, sr, 1, C),
+                    jnp.float32,
+                )
+                bias = self.param("sr_bias", zeros, (C,), jnp.float32)
+                norm = nn.LayerNorm(dtype=self.dtype, name="sr_norm")
+                conv_params = (kernel, bias, norm)
+            k = self._downsample(k, H, W, conv_params)
+            v = self._downsample(v, H, W, conv_params)
+        M = k.shape[1]
+        dh = C // self.num_heads
+        out = attention(
+            q.reshape(B, N, self.num_heads, dh),
+            k.reshape(B, M, self.num_heads, dh),
+            v.reshape(B, M, self.num_heads, dh),
+            fp32_softmax=self.fp32_attention,
+            impl=self.attn_impl,
+        ).reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, kernel_init=xavier, name="proj")(out)
+
+
+class MultiHeadCrossAttention(nn.Module):
+    """Image queries attend to padded T5 caption keys/values.
+
+    Spec: PixArt_blocks.py:28-58. Padding mask replaces BlockDiagonalMask;
+    proj is ZERO-init (PixArt.py:247-249) so blocks start as identity.
+    """
+
+    dim: int
+    num_heads: int
+    fp32_attention: bool = False
+    attn_impl: str = "auto"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, N, C]
+        cond: jnp.ndarray,  # [B, L, C]
+        mask: Optional[jnp.ndarray] = None,  # [B, L] valid-token mask
+    ) -> jnp.ndarray:
+        B, N, C = x.shape
+        L = cond.shape[1]
+        dh = C // self.num_heads
+        q = nn.Dense(C, dtype=self.dtype, kernel_init=xavier, name="q_linear")(x)
+        kv = nn.Dense(2 * C, dtype=self.dtype, kernel_init=xavier, name="kv_linear")(
+            cond
+        )
+        k, v = jnp.split(kv, 2, axis=-1)
+        out = attention(
+            q.reshape(B, N, self.num_heads, dh),
+            k.reshape(B, L, self.num_heads, dh),
+            v.reshape(B, L, self.num_heads, dh),
+            key_mask=None if mask is None else mask.astype(bool),
+            fp32_softmax=self.fp32_attention,
+            impl=self.attn_impl,
+        ).reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, kernel_init=zeros, name="proj")(out)
+
+
+class T2IFinalLayer(nn.Module):
+    """Final LN + 2-way scale/shift from t-embedding + zero-init projection."""
+
+    hidden_size: int
+    patch_size: int
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        table = self.param(
+            "scale_shift_table",
+            nn.initializers.normal(stddev=self.hidden_size**-0.5),
+            (2, self.hidden_size),
+        )
+        ss = table[None].astype(self.dtype) + t[:, None].astype(self.dtype)
+        shift, scale = ss[:, 0:1], ss[:, 1:2]
+        x = nn.LayerNorm(
+            use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
+            name="norm_final",
+        )(x)
+        x = t2i_modulate(x, shift, scale)
+        return nn.Dense(
+            self.patch_size**2 * self.out_channels,
+            dtype=self.dtype,
+            kernel_init=zeros,
+            name="linear",
+        )(x)
+
+
+class PixArtBlock(nn.Module):
+    """DiT block: adaLN-single self-attn + caption cross-attn + MLP.
+
+    Spec: PixArtMSBlock (PixArtMS.py:49-79) == PixArtBlock (PixArt.py:25-56);
+    per-block learned scale_shift_table [6, D] added to the shared t0.
+    """
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    sampling: Optional[str] = None
+    sr_ratio: int = 1
+    qk_norm: bool = False
+    fp32_attention: bool = False
+    attn_impl: str = "auto"
+    hw: Optional[tuple[int, int]] = None  # static latent grid (h, w)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, N, D]
+        y: jnp.ndarray,  # [B, L, D]
+        t0: jnp.ndarray,  # [B, 6*D]
+        y_mask: Optional[jnp.ndarray] = None,  # [B, L]
+    ) -> jnp.ndarray:
+        B, N, D = x.shape
+        table = self.param(
+            "scale_shift_table",
+            nn.initializers.normal(stddev=self.hidden_size**-0.5),
+            (6, self.hidden_size),
+        )
+        mods = table[None].astype(self.dtype) + t0.reshape(B, 6, D).astype(self.dtype)
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
+            mods[:, i : i + 1] for i in range(6)
+        )
+        norm1 = nn.LayerNorm(
+            use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
+            name="norm1",
+        )(x)
+        x = x + gate_msa * SelfAttentionKVCompress(
+            dim=D,
+            num_heads=self.num_heads,
+            sampling=self.sampling,
+            sr_ratio=self.sr_ratio,
+            qk_norm=self.qk_norm,
+            fp32_attention=self.fp32_attention,
+            attn_impl=self.attn_impl,
+            hw=self.hw,
+            dtype=self.dtype,
+            name="attn",
+        )(t2i_modulate(norm1, shift_msa, scale_msa))
+        x = x + MultiHeadCrossAttention(
+            dim=D,
+            num_heads=self.num_heads,
+            fp32_attention=self.fp32_attention,
+            attn_impl=self.attn_impl,
+            dtype=self.dtype,
+            name="cross_attn",
+        )(x, y, y_mask)
+        norm2 = nn.LayerNorm(
+            use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
+            name="norm2",
+        )(x)
+        x = x + gate_mlp * Mlp(
+            hidden_features=int(D * self.mlp_ratio),
+            out_features=D,
+            dtype=self.dtype,
+            name="mlp",
+        )(t2i_modulate(norm2, shift_mlp, scale_mlp))
+        return x

@@ -1,0 +1,227 @@
+"""PixArt / PixArtMS diffusion transformers (flax.linen).
+
+Behavioural spec: /root/reference/diffusion/model/nets/PixArt.py:62-255 and
+PixArtMS.py:85-285 — 28-layer, 1152-wide, 16-head DiT over VAE-latent patches
+with adaLN-single timestep conditioning and per-block T5 cross-attention.
+
+TPU-first choices (vs the reference):
+- channel-LAST latents: x [B, H, W, C] in, [B, H, W, out_C] out
+- the sin-cos pos-embed is computed from the STATIC (H, W) at trace time and
+  constant-folds under jit (the reference recomputes it in numpy per forward,
+  PixArtMS.py:177-182)
+- captions stay padded [B, L, 4096] with a [B, L] mask; no ragged packing and
+  no `.tolist()` host sync (PixArtMS.py:201 forces one per step in torch)
+- per-block gradient checkpointing via nn.remat (policy: nothing saved)
+- bf16 compute / fp32 params by default
+
+One module implements both variants: `multi_scale=False` reproduces PixArt
+(fixed square grid, no micro-cond), `multi_scale=True` PixArtMS (arbitrary
+H×W + optional size/aspect-ratio micro-conditioning).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pixart_sigma_tpu.models.layers import (
+    CaptionEmbedder,
+    PatchEmbed,
+    PixArtBlock,
+    SizeEmbedder,
+    T2IFinalLayer,
+    TimestepEmbedder,
+)
+from pixart_sigma_tpu.ops.pos_embed import get_2d_sincos_pos_embed
+
+
+@dataclasses.dataclass(frozen=True)
+class PixArtConfig:
+    """All architecture knobs (reference defaults: PixArtMS.py:93-115)."""
+
+    input_size: int = 32  # latent grid (input px / 8)
+    patch_size: int = 2
+    in_channels: int = 4
+    hidden_size: int = 1152
+    depth: int = 28
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    class_dropout_prob: float = 0.1
+    pred_sigma: bool = True
+    caption_channels: int = 4096
+    pe_interpolation: float = 1.0
+    model_max_length: int = 120
+    micro_condition: bool = False
+    qk_norm: bool = False
+    kv_compress_sampling: Optional[str] = None  # 'conv'|'ave'|'uniform'|'uniform_every'
+    kv_compress_scale: int = 1
+    kv_compress_layers: Tuple[int, ...] = ()
+    multi_scale: bool = True
+    # runtime knobs
+    dtype: Any = jnp.bfloat16
+    fp32_attention: bool = False
+    attn_impl: str = "auto"
+    grad_checkpointing: bool = False
+
+    @property
+    def out_channels(self) -> int:
+        return self.in_channels * 2 if self.pred_sigma else self.in_channels
+
+    @property
+    def base_size(self) -> int:
+        return self.input_size // self.patch_size
+
+    def sr_ratio(self, layer: int) -> int:
+        if layer in self.kv_compress_layers and self.kv_compress_sampling:
+            return int(self.kv_compress_scale)
+        return 1
+
+
+class PixArt(nn.Module):
+    """The DiT denoiser. Call with NHWC latents; returns NHWC prediction."""
+
+    cfg: PixArtConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, H, W, in_channels]
+        timestep: jnp.ndarray,  # [B] (int or float)
+        y: jnp.ndarray,  # [B, L, caption_channels]
+        y_mask: Optional[jnp.ndarray] = None,  # [B, L]; 1 = valid token
+        img_hw: Optional[jnp.ndarray] = None,  # [B, 2] micro-cond size
+        aspect_ratio: Optional[jnp.ndarray] = None,  # [B, 1]
+        train: bool = False,
+        force_drop_ids: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        B, H, W, C = x.shape
+        p = cfg.patch_size
+        h, w = H // p, W // p
+        if not cfg.multi_scale:
+            assert h == w, "fixed-resolution PixArt expects a square grid"
+        dtype = cfg.dtype
+
+        pos = get_2d_sincos_pos_embed(
+            cfg.hidden_size,
+            h,
+            w,
+            pe_interpolation=cfg.pe_interpolation,
+            base_size=cfg.base_size,
+        )  # np [h*w, D] — constant under jit
+
+        x = PatchEmbed(
+            patch_size=p, embed_dim=cfg.hidden_size, dtype=dtype, name="x_embedder"
+        )(x)
+        x = x + jnp.asarray(pos, dtype=dtype)[None]
+
+        t = TimestepEmbedder(cfg.hidden_size, dtype=dtype, name="t_embedder")(
+            timestep
+        )  # [B, D]
+
+        if cfg.micro_condition:
+            assert img_hw is not None and aspect_ratio is not None
+            csize = SizeEmbedder(
+                cfg.hidden_size // 3, dtype=dtype, name="csize_embedder"
+            )(img_hw)
+            ar = SizeEmbedder(
+                cfg.hidden_size // 3, dtype=dtype, name="ar_embedder"
+            )(aspect_ratio)
+            t = t + jnp.concatenate([csize, ar], axis=1)
+
+        # shared adaLN-single: one 6D modulation vector for all blocks
+        t0 = nn.Dense(
+            6 * cfg.hidden_size,
+            dtype=dtype,
+            kernel_init=nn.initializers.normal(stddev=0.02),
+            name="t_block",
+        )(nn.silu(t))
+
+        y = CaptionEmbedder(
+            in_channels=cfg.caption_channels,
+            hidden_size=cfg.hidden_size,
+            uncond_prob=cfg.class_dropout_prob,
+            token_num=cfg.model_max_length,
+            dtype=dtype,
+            name="y_embedder",
+        )(y, train=train, force_drop_ids=force_drop_ids)
+
+        block_cls = PixArtBlock
+        if cfg.grad_checkpointing:
+            block_cls = nn.remat(PixArtBlock, prevent_cse=False)
+        for i in range(cfg.depth):
+            x = block_cls(
+                hidden_size=cfg.hidden_size,
+                num_heads=cfg.num_heads,
+                mlp_ratio=cfg.mlp_ratio,
+                sampling=cfg.kv_compress_sampling,
+                sr_ratio=cfg.sr_ratio(i),
+                qk_norm=cfg.qk_norm,
+                fp32_attention=cfg.fp32_attention,
+                attn_impl=cfg.attn_impl,
+                hw=(h, w),
+                dtype=dtype,
+                name=f"blocks_{i}",
+            )(x, y, t0, y_mask)
+
+        x = T2IFinalLayer(
+            hidden_size=cfg.hidden_size,
+            patch_size=p,
+            out_channels=cfg.out_channels,
+            dtype=dtype,
+            name="final_layer",
+        )(x, t)
+        return self.unpatchify(x, h, w).astype(jnp.float32)
+
+    def unpatchify(self, x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+        """[B, h*w, p*p*C] -> [B, h*p, w*p, C] (token vector order (p, q, c))."""
+        cfg = self.cfg
+        p = cfg.patch_size
+        c = cfg.out_channels
+        B = x.shape[0]
+        x = x.reshape(B, h, w, p, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)  # b h p w q c
+        return x.reshape(B, h * p, w * p, c)
+
+    def forward_with_dpmsolver(self, x, timestep, y, y_mask=None, **kwargs):
+        """Return only the eps half of the output (PixArtMS.py:213-219)."""
+        out = self(x, timestep, y, y_mask, **kwargs)
+        return out[..., : self.cfg.in_channels]
+
+    def forward_with_cfg(
+        self, x, timestep, y, cfg_scale, y_mask=None, cfg_channels: int = 3, **kwargs
+    ):
+        """Batched-CFG forward for iDDPM ancestral sampling.
+
+        Faithful to PixArtMS.py:221-234 including the DiT-inherited quirk of
+        guiding only the first `cfg_channels` (3) channels.
+        """
+        half = x[: len(x) // 2]
+        combined = jnp.concatenate([half, half], axis=0)
+        out = self(combined, timestep, y, y_mask, **kwargs)
+        eps, rest = out[..., :cfg_channels], out[..., cfg_channels:]
+        cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)
+        half_eps = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
+        eps = jnp.concatenate([half_eps, half_eps], axis=0)
+        return jnp.concatenate([eps, rest], axis=-1)
+
+
+def PixArt_XL_2(**overrides) -> PixArt:
+    """0.6B fixed-resolution model (PixArt.py:313-315)."""
+    overrides.setdefault("multi_scale", False)
+    cfg = PixArtConfig(
+        depth=28, hidden_size=1152, patch_size=2, num_heads=16, **overrides
+    )
+    return PixArt(cfg)
+
+
+def PixArtMS_XL_2(**overrides) -> PixArt:
+    """0.6B multi-scale model (PixArtMS.py:291-293)."""
+    overrides.setdefault("multi_scale", True)
+    cfg = PixArtConfig(
+        depth=28, hidden_size=1152, patch_size=2, num_heads=16, **overrides
+    )
+    return PixArt(cfg)

@@ -1,0 +1,84 @@
+"""Attention dispatcher: XLA einsum path + (optional) Pallas flash kernel.
+
+Replaces the reference's xformers.memory_efficient_attention calls
+(PixArt_blocks.py:53,153). Layout is [B, N, H, Dh] (batch, tokens, heads,
+head_dim) to match the xformers convention used by the reference.
+
+Key design change vs the reference (SURVEY.md §7 "hard parts"): variable
+caption lengths are handled with a padded [B, M] key mask folded into an
+additive bias, instead of xformers' ragged BlockDiagonalMask packing. Padded
+keys receive -inf logits, so the numerics are identical to packing while
+keeping every shape static for XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    fp32_softmax: bool,
+) -> jnp.ndarray:
+    """Reference-quality attention via einsum; XLA fuses this well on TPU."""
+    B, N, H, Dh = q.shape
+    scale = Dh**-0.5
+    dtype = q.dtype
+    if fp32_softmax:
+        q = q.astype(jnp.float32)
+        k = k.astype(jnp.float32)
+        v = v.astype(jnp.float32)
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+    return out.astype(dtype)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    key_mask: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    fp32_softmax: bool = False,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Scaled dot-product attention.
+
+    q: [B, N, H, Dh]; k, v: [B, M, H, Dh]
+    key_mask: [B, M] bool — True for valid keys (padded keys masked out)
+    bias: [B, H, N, M] or broadcastable additive bias
+    impl: 'auto' | 'xla' | 'flash'
+    """
+    if key_mask is not None:
+        key_bias = jnp.where(key_mask[:, None, None, :], 0.0, -jnp.inf).astype(
+            jnp.float32
+        )
+        bias = key_bias if bias is None else bias + key_bias
+
+    if impl == "flash" or (impl == "auto" and _flash_ok(q, k)):
+        from pixart_sigma_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, bias=bias)
+    return _xla_attention(q, k, v, bias, fp32_softmax)
+
+
+def _flash_ok(q: jnp.ndarray, k: jnp.ndarray) -> bool:
+    """Use the Pallas kernel only on real TPU backends with aligned shapes."""
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    if platform not in ("tpu",):
+        return False
+    # kernel requires lane-aligned head_dim and reasonably long sequences
+    return q.shape[-1] % 128 == 0 and q.shape[1] >= 256 and k.shape[1] >= 128
