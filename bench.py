@@ -1,0 +1,104 @@
+"""Benchmark: 1024px images/sec/chip at 20-step DPM-Solver++ CFG 4.5.
+
+The north-star metric from BASELINE.json. Measures the full denoising
+trajectory (20 NFE, CFG-batched 2x forward, PixArt-Sigma-XL-2 0.6B, bf16,
+latents 128x128x4 = 4096 tokens) compiled as ONE jitted program on the real
+TPU chip. T5 encode and VAE decode are excluded for now (tracked; the
+reference's operating point is denoiser-bound at 20 NFE).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
+
+The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
+reports against an A100 fp16 estimate of the same op point (~0.4 img/s at
+batch 1; xformers-era PixArt-Sigma 1024px ~2.5 s/img) — i.e. value/0.4.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from pixart_sigma_tpu.diffusion.dpm_solver import (
+        DPMSolver,
+        NoiseScheduleVP,
+        make_cfg_model_fn,
+    )
+    from pixart_sigma_tpu.diffusion.schedules import named_beta_schedule
+    from pixart_sigma_tpu.models.pixart import PixArt, PixArtConfig
+
+    BATCH = 4
+    STEPS = 20
+    H = W = 128  # 1024px / 8
+
+    cfg = PixArtConfig(
+        input_size=128,
+        model_max_length=300,
+        pe_interpolation=2.0,
+        dtype=jnp.bfloat16,
+    )
+    model = PixArt(cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(BATCH, H, W, 4), dtype=jnp.float32)
+    y_cond = jnp.asarray(rng.randn(BATCH, 300, 4096), dtype=jnp.bfloat16)
+    y_uncond = jnp.asarray(rng.randn(BATCH, 300, 4096), dtype=jnp.bfloat16)
+    mask = jnp.ones((2 * BATCH, 300), dtype=jnp.int32)
+
+    params = jax.jit(
+        lambda: model.init(
+            jax.random.PRNGKey(0), x[:1].astype(jnp.bfloat16),
+            jnp.zeros((1,)), y_cond[:1], mask[:1],
+        )
+    )()
+
+    betas = named_beta_schedule("linear", 1000)
+    ns = NoiseScheduleVP("discrete", betas=betas)
+
+    def apply_fn(x_in, t_vec, cond, **kw):
+        out = model.apply(
+            params, x_in.astype(jnp.bfloat16), t_vec, cond, mask
+        )
+        return out[..., :4]
+
+    model_fn = make_cfg_model_fn(
+        apply_fn, ns, condition=y_cond, uncondition=y_uncond, cfg_scale=4.5
+    )
+    solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
+
+    @jax.jit
+    def sample(x0):
+        return solver.sample(x0, steps=STEPS, order=2, method="multistep")
+
+    # warmup / compile
+    out = sample(x)
+    out.block_until_ready()
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = sample(x)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    img_per_sec = BATCH / dt
+    baseline_a100 = 0.4  # img/s, A100 fp16 20-step DPM-Solver (see docstring)
+    print(
+        json.dumps(
+            {
+                "metric": "1024px_images_per_sec_per_chip_20step_dpmsolver_cfg4.5",
+                "value": round(img_per_sec, 4),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_per_sec / baseline_a100, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

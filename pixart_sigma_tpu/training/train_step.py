@@ -1,0 +1,122 @@
+"""The jitted, mesh-sharded iDDPM training step.
+
+Spec: the hot loop of /root/reference/train_scripts/train.py:137-207 —
+sample t ~ U[0, T), q_sample, model forward, MSE+VLB loss, grad clip 0.01,
+optimizer step, EMA. TPU-first: the whole step (including CFG caption drop
+and EMA) is ONE jitted program; gradient all-reduce over the mesh's data/fsdp
+axes is emitted by GSPMD from the sharding annotations — there is no
+hand-written collective here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pixart_sigma_tpu.diffusion.gaussian import GaussianDiffusion
+from pixart_sigma_tpu.parallel.mesh import data_sharding, param_sharding
+from pixart_sigma_tpu.training.train_state import TrainState
+
+
+def make_train_step(
+    model,
+    diffusion: GaussianDiffusion,
+    *,
+    mesh: Optional[Mesh] = None,
+    fsdp: bool = False,
+    donate: bool = True,
+) -> Callable:
+    """Build train_step(state, batch, rng) -> (state, metrics).
+
+    batch dict (all [B, ...], B sharded over the mesh batch axes):
+      latents [B, H, W, C], y [B, L, 4096], y_mask [B, L],
+      optional img_hw [B, 2], aspect_ratio [B, 1]
+    """
+
+    def loss_fn(params, batch, t, noise, drop_rng):
+        def model_fn(x_t, t_in):
+            return model.apply(
+                {"params": params},
+                x_t,
+                t_in,
+                batch["y"],
+                batch.get("y_mask"),
+                batch.get("img_hw"),
+                batch.get("aspect_ratio"),
+                train=True,
+                rngs={"caption_drop": drop_rng},
+            )
+
+        terms = diffusion.training_losses(
+            model_fn, batch["latents"], t, noise=noise
+        )
+        loss = jnp.mean(terms["loss"])
+        metrics = {"loss": loss, "mse": jnp.mean(terms["mse"])}
+        if "vb" in terms:
+            metrics["vb"] = jnp.mean(terms["vb"])
+        return loss, metrics
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        t_rng, noise_rng, drop_rng = jax.random.split(rng, 3)
+        B = batch["latents"].shape[0]
+        t = jax.random.randint(t_rng, (B,), 0, diffusion.num_timesteps)
+        noise = jax.random.normal(
+            noise_rng, batch["latents"].shape, batch["latents"].dtype
+        )
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, t, noise, drop_rng
+        )
+        metrics["grad_norm"] = optax_global_norm(grads)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    batch_shard = data_sharding(mesh)
+
+    def shard_state(state_shape):
+        """Sharding tree for the TrainState (params/opt/ema follow fsdp rule)."""
+        def leaf(x):
+            return param_sharding(x, mesh, fsdp=fsdp)
+
+        return TrainState(
+            step=repl,
+            params=leaf(state_shape.params),
+            opt_state=leaf(state_shape.opt_state),
+            ema_params=(
+                leaf(state_shape.ema_params)
+                if state_shape.ema_params is not None
+                else None
+            ),
+            tx=state_shape.tx,
+            ema_rate=state_shape.ema_rate,
+        )
+
+    cache: dict[Any, Callable] = {}
+
+    def jitted(state, batch, rng):
+        key = tuple(sorted(batch.keys()))
+        if key not in cache:
+            state_sh = shard_state(state)
+            batch_sh = {k: batch_shard for k in batch}
+            cache[key] = jax.jit(
+                train_step,
+                in_shardings=(state_sh, batch_sh, repl),
+                out_shardings=(state_sh, repl),
+                donate_argnums=(0,) if donate else (),
+            )
+        return cache[key](state, batch, rng)
+
+    return jitted
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))

@@ -112,3 +112,28 @@ def test_multistep_trajectory_matches_reference(order, steps):
         )(jnp.asarray(x0, dtype=jnp.float64))
 
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("order,steps", [(2, 20), (2, 5), (1, 10)])
+def test_scan_path_matches_unrolled(order, steps):
+    """The lax.scan sampling path must match the unrolled path exactly."""
+    B, D = 2, 4
+    x0 = jnp.asarray(
+        np.random.RandomState(3).randn(B, D).astype(np.float32)
+    )
+    ns = NoiseScheduleVP("discrete", betas=BETAS)
+
+    def model_fn(x, t_cont):
+        t_input = (jnp.asarray(t_cont, jnp.float32) - 1.0 / ns.total_N) * 1000.0
+        return jnp.tanh(x @ FAKE_W.astype(np.float32)) * (1.0 + t_input / 2000.0)
+
+    solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
+    got_scan = jax.jit(
+        lambda x: solver.sample(x, steps=steps, order=order, use_scan=True)
+    )(x0)
+    got_unrolled = jax.jit(
+        lambda x: solver.sample(x, steps=steps, order=order, use_scan=False)
+    )(x0)
+    np.testing.assert_allclose(
+        np.asarray(got_scan), np.asarray(got_unrolled), rtol=2e-5, atol=2e-6
+    )

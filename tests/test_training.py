@@ -1,0 +1,182 @@
+"""Optimizer parity (CAME vs a torch reference implementation), LR schedules,
+and the sharded train step on an 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from pixart_sigma_tpu.models.pixart import PixArt, PixArtConfig
+from pixart_sigma_tpu.parallel.mesh import MeshConfig, build_mesh
+from pixart_sigma_tpu.training import (
+    TrainState,
+    build_lr_schedule,
+    build_optimizer,
+    came,
+    make_train_step,
+)
+from pixart_sigma_tpu.diffusion import IDDPM
+
+
+class TorchCAME:
+    """Verbatim-math torch implementation of published CAME for testing."""
+
+    def __init__(self, params, lr, betas=(0.9, 0.999, 0.9999), eps=(1e-30, 1e-16),
+                 clip=1.0, wd=0.0):
+        self.params = params
+        self.lr, self.betas, self.eps, self.clip, self.wd = lr, betas, eps, clip, wd
+        self.state = {}
+        for i, p in enumerate(params):
+            s = {"m": torch.zeros_like(p)}
+            if p.ndim >= 2:
+                s["r"] = torch.zeros(p.shape[:-1])
+                s["c"] = torch.zeros(p.shape[:-2] + p.shape[-1:])
+                s["sr"] = torch.zeros(p.shape[:-1])
+                s["sc"] = torch.zeros(p.shape[:-2] + p.shape[-1:])
+            else:
+                s["v"] = torch.zeros_like(p)
+            self.state[i] = s
+
+    @staticmethod
+    def _approx(row, col):
+        r = (row / row.mean(dim=-1, keepdim=True)).rsqrt().unsqueeze(-1)
+        c = col.unsqueeze(-2).rsqrt()
+        return r * c
+
+    def step(self, grads):
+        b1, b2, b3 = self.betas
+        e1, e2 = self.eps
+        for i, (p, g) in enumerate(zip(self.params, grads)):
+            s = self.state[i]
+            sq = g * g + e1
+            if p.ndim >= 2:
+                s["r"].mul_(b2).add_(sq.mean(dim=-1), alpha=1 - b2)
+                s["c"].mul_(b2).add_(sq.mean(dim=-2), alpha=1 - b2)
+                u = self._approx(s["r"], s["c"]) * g
+            else:
+                s["v"].mul_(b2).add_(sq, alpha=1 - b2)
+                u = g * s["v"].rsqrt()
+            rms = u.norm(2) / (u.numel() ** 0.5)
+            u = u / max(1.0, float(rms) / self.clip)
+            s["m"].mul_(b1).add_(u, alpha=1 - b1)
+            if p.ndim >= 2:
+                res = (u - s["m"]) ** 2 + e2
+                s["sr"].mul_(b3).add_(res.mean(dim=-1), alpha=1 - b3)
+                s["sc"].mul_(b3).add_(res.mean(dim=-2), alpha=1 - b3)
+                upd = self._approx(s["sr"], s["sc"]) * s["m"]
+            else:
+                upd = s["m"].clone()
+            if self.wd:
+                p.data.add_(p.data, alpha=-self.wd * self.lr)
+            p.data.add_(upd, alpha=-self.lr)
+
+
+def test_came_matches_torch_reference_math():
+    rng = np.random.RandomState(0)
+    w = rng.randn(8, 6).astype(np.float32)
+    b = rng.randn(6).astype(np.float32)
+    params = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+    tparams = [torch.from_numpy(w.copy()), torch.from_numpy(b.copy())]
+    opt = came(2e-2, weight_decay=0.01)
+    ref = TorchCAME(tparams, 2e-2, wd=0.01)
+    state = opt.init(params)
+    for step in range(5):
+        gw = rng.randn(8, 6).astype(np.float32)
+        gb = rng.randn(6).astype(np.float32)
+        grads = {"w": jnp.asarray(gw), "b": jnp.asarray(gb)}
+        updates, state = opt.update(grads, state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        ref.step([torch.from_numpy(gw), torch.from_numpy(gb)])
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tparams[0].numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["b"]), tparams[1].numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_lr_schedules():
+    s = build_lr_schedule("constant", 1e-4, num_warmup_steps=10)
+    assert float(s(0)) == 0.0
+    assert float(s(5)) == pytest.approx(5e-5)
+    assert float(s(100)) == pytest.approx(1e-4)
+
+    s = build_lr_schedule(
+        "cosine", 1e-4, num_warmup_steps=10, num_training_steps=110
+    )
+    assert float(s(10)) == pytest.approx(1e-4)
+    assert float(s(110)) == pytest.approx(0.0, abs=1e-9)
+
+    s = build_lr_schedule(
+        "cosine_decay_to_constant", 1e-4, num_warmup_steps=0,
+        num_training_steps=100, lr_scale_ratio=2.0,
+    )
+    assert float(s(99)) == pytest.approx(5e-5)  # holds at base/ratio
+
+
+def _tiny_model_and_batch():
+    cfg = PixArtConfig(
+        depth=2, hidden_size=48, num_heads=4, caption_channels=32,
+        model_max_length=8, dtype=jnp.float32,
+    )
+    model = PixArt(cfg)
+    B = 8
+    rng = np.random.RandomState(0)
+    batch = {
+        "latents": jnp.asarray(rng.randn(B, 8, 8, 4).astype(np.float32)),
+        "y": jnp.asarray(rng.randn(B, 8, 32).astype(np.float32)),
+        "y_mask": jnp.ones((B, 8), dtype=jnp.int32),
+    }
+    return model, batch
+
+
+@pytest.mark.parametrize("fsdp", [False, True])
+def test_sharded_train_step(fsdp):
+    model, batch = _tiny_model_and_batch()
+    diffusion = IDDPM(timestep_respacing=[1000], learn_sigma=True,
+                      rescale_learned_sigmas=True)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "caption_drop": jax.random.PRNGKey(1)},
+        batch["latents"], jnp.zeros((8,)), batch["y"], batch["y_mask"], train=True,
+    )["params"]
+    tx = build_optimizer(
+        name="came", learning_rate=build_lr_schedule("constant", 2e-5, num_warmup_steps=0),
+        grad_clip_norm=0.01,
+    )
+    state = TrainState.create(params=params, tx=tx, ema=True)
+    mesh = build_mesh(MeshConfig(data=-1, fsdp=4 if fsdp else 1))
+    step_fn = make_train_step(model, diffusion, mesh=mesh, fsdp=fsdp, donate=False)
+    s1, m1 = step_fn(state, batch, jax.random.PRNGKey(42))
+    s2, m2 = step_fn(s1, batch, jax.random.PRNGKey(42))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert int(s2.step) == 2
+    # EMA actually moved
+    d = jax.tree_util.tree_map(
+        lambda e, p: float(jnp.abs(e - p).max()), s2.ema_params, s2.params
+    )
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_dp_matches_single_device():
+    """DP over 8 devices must produce the same update as 1 device."""
+    model, batch = _tiny_model_and_batch()
+    diffusion = IDDPM(timestep_respacing=[1000], learn_sigma=True,
+                      rescale_learned_sigmas=True)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "caption_drop": jax.random.PRNGKey(1)},
+        batch["latents"], jnp.zeros((8,)), batch["y"], batch["y_mask"], train=True,
+    )["params"]
+    tx = build_optimizer(name="adamw", learning_rate=1e-3)
+    mesh = build_mesh(MeshConfig())
+    state0 = TrainState.create(params=params, tx=tx, ema=False)
+
+    sharded = make_train_step(model, diffusion, mesh=mesh, donate=False)
+    plain = make_train_step(model, diffusion, mesh=None, donate=False)
+    s_a, m_a = sharded(state0, batch, jax.random.PRNGKey(7))
+    s_b, m_b = plain(state0, batch, jax.random.PRNGKey(7))
+    assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]), rel=1e-5)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_a.params, s_b.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
