@@ -25,6 +25,9 @@ import numpy as np
 
 
 def main() -> None:
+    from pixart_sigma_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from pixart_sigma_tpu.diffusion.dpm_solver import (
         DPMSolver,
         NoiseScheduleVP,

@@ -38,6 +38,14 @@ from pixart_sigma_tpu.models.layers import (
 from pixart_sigma_tpu.ops.pos_embed import get_2d_sincos_pos_embed
 
 
+class _ScanPixArtBlock(PixArtBlock):
+    """PixArtBlock with the (carry, out) return convention nn.scan expects."""
+
+    @nn.compact
+    def __call__(self, x, y, t0, y_mask):  # type: ignore[override]
+        return PixArtBlock.__call__(self, x, y, t0, y_mask), None
+
+
 @dataclasses.dataclass(frozen=True)
 class PixArtConfig:
     """All architecture knobs (reference defaults: PixArtMS.py:93-115)."""
@@ -65,6 +73,11 @@ class PixArtConfig:
     fp32_attention: bool = False
     attn_impl: str = "auto"
     grad_checkpointing: bool = False
+    # Compile the depth dimension as nn.scan groups (one XLA body per group of
+    # identical blocks) instead of `depth` unrolled copies — ~15-20x faster
+    # XLA compile for the 28-layer model with identical numerics. Params are
+    # stacked [n_layers_in_group, ...] under 'blocks_scan_<g>'.
+    scan_blocks: bool = True
 
     @property
     def out_channels(self) -> int:
@@ -78,6 +91,17 @@ class PixArtConfig:
         if layer in self.kv_compress_layers and self.kv_compress_sampling:
             return int(self.kv_compress_scale)
         return 1
+
+    def block_groups(self) -> list[tuple[int, int]]:
+        """Runs of consecutive layers with identical sr_ratio: [(sr, count)]."""
+        groups: list[tuple[int, int]] = []
+        for i in range(self.depth):
+            sr = self.sr_ratio(i)
+            if groups and groups[-1][0] == sr:
+                groups[-1] = (sr, groups[-1][1] + 1)
+            else:
+                groups.append((sr, 1))
+        return groups
 
 
 class PixArt(nn.Module):
@@ -149,23 +173,46 @@ class PixArt(nn.Module):
             name="y_embedder",
         )(y, train=train, force_drop_ids=force_drop_ids)
 
-        block_cls = PixArtBlock
-        if cfg.grad_checkpointing:
-            block_cls = nn.remat(PixArtBlock, prevent_cse=False)
-        for i in range(cfg.depth):
-            x = block_cls(
+        if y_mask is None:
+            y_mask = jnp.ones(y.shape[:2], dtype=jnp.int32)
+
+        def block_kwargs(sr: int) -> dict:
+            return dict(
                 hidden_size=cfg.hidden_size,
                 num_heads=cfg.num_heads,
                 mlp_ratio=cfg.mlp_ratio,
                 sampling=cfg.kv_compress_sampling,
-                sr_ratio=cfg.sr_ratio(i),
+                sr_ratio=sr,
                 qk_norm=cfg.qk_norm,
                 fp32_attention=cfg.fp32_attention,
                 attn_impl=cfg.attn_impl,
                 hw=(h, w),
                 dtype=dtype,
-                name=f"blocks_{i}",
-            )(x, y, t0, y_mask)
+            )
+
+        if cfg.scan_blocks:
+            body = _ScanPixArtBlock
+            if cfg.grad_checkpointing:
+                body = nn.remat(body, prevent_cse=False)
+            for g, (sr, count) in enumerate(cfg.block_groups()):
+                scanned = nn.scan(
+                    body,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                    length=count,
+                )
+                x, _ = scanned(**block_kwargs(sr), name=f"blocks_scan_{g}")(
+                    x, y, t0, y_mask
+                )
+        else:
+            block_cls = PixArtBlock
+            if cfg.grad_checkpointing:
+                block_cls = nn.remat(PixArtBlock, prevent_cse=False)
+            for i in range(cfg.depth):
+                x = block_cls(
+                    **block_kwargs(cfg.sr_ratio(i)), name=f"blocks_{i}"
+                )(x, y, t0, y_mask)
 
         x = T2IFinalLayer(
             hidden_size=cfg.hidden_size,

@@ -171,9 +171,32 @@ def test_forward_with_dpmsolver_and_cfg():
 
 def test_zero_init_heads():
     """cross_attn.proj and final linear are zero-init (PixArt.py:243-255)."""
-    cfg = _tiny_cfg()
+    cfg = _tiny_cfg(scan_blocks=False)
     model = PixArt(cfg)
     x, t, y, mask = _inputs()
     params = model.init(jax.random.PRNGKey(0), x, t, y, mask)["params"]
     assert float(jnp.abs(params["blocks_0"]["cross_attn"]["proj"]["kernel"]).max()) == 0
     assert float(jnp.abs(params["final_layer"]["linear"]["kernel"]).max()) == 0
+
+
+def test_scan_blocks_matches_unrolled():
+    """nn.scan over blocks must equal the per-layer loop numerically."""
+    from pixart_sigma_tpu.utils.param_layout import stack_block_params
+
+    kw = dict(
+        depth=4, hidden_size=48, num_heads=4, caption_channels=32,
+        model_max_length=8, dtype=jnp.float32,
+        kv_compress_sampling="conv", kv_compress_scale=2,
+        kv_compress_layers=(2, 3),
+    )
+    cfg_loop = PixArtConfig(scan_blocks=False, **kw)
+    cfg_scan = PixArtConfig(scan_blocks=True, **kw)
+    x, t, y, mask = _inputs()
+    loop_model, scan_model = PixArt(cfg_loop), PixArt(cfg_scan)
+    params = loop_model.init(jax.random.PRNGKey(0), x, t, y, mask)["params"]
+    out_loop = loop_model.apply({"params": params}, x, t, y, mask)
+    stacked = stack_block_params(params, cfg_scan)
+    out_scan = scan_model.apply({"params": stacked}, x, t, y, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_loop), np.asarray(out_scan), rtol=1e-5, atol=1e-5
+    )
