@@ -63,29 +63,28 @@ def main() -> None:
     betas = named_beta_schedule("linear", 1000)
     ns = NoiseScheduleVP("discrete", betas=betas)
 
-    def apply_fn(x_in, t_vec, cond, **kw):
-        out = model.apply(
-            params, x_in.astype(jnp.bfloat16), t_vec, cond, mask
-        )
-        return out[..., :4]
-
-    model_fn = make_cfg_model_fn(
-        apply_fn, ns, condition=y_cond, uncondition=y_uncond, cfg_scale=4.5
-    )
-    solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
-
     @jax.jit
-    def sample(x0):
+    def sample(params, x0):
+        def apply_fn(x_in, t_vec, cond, **kw):
+            out = model.apply(
+                params, x_in.astype(jnp.bfloat16), t_vec, cond, mask
+            )
+            return out[..., :4]
+
+        model_fn = make_cfg_model_fn(
+            apply_fn, ns, condition=y_cond, uncondition=y_uncond, cfg_scale=4.5
+        )
+        solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
         return solver.sample(x0, steps=STEPS, order=2, method="multistep")
 
     # warmup / compile
-    out = sample(x)
+    out = sample(params, x)
     out.block_until_ready()
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = sample(x)
+        out = sample(params, x)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
 

@@ -1,0 +1,349 @@
+"""SA-Solver: stochastic Adams predictor-corrector sampler.
+
+Behavioural spec: /root/reference/diffusion/model/sa_solver.py (exponential
+integrals :426-477, Lagrange coefficients :478-540, Adams-Bashforth/Moulton
+updates :562-754, sample_few_steps :755-910, sample_more_steps :911-1065) and
+the SASolverSampler facade /root/reference/diffusion/sa_sampler.py:10-93.
+
+TPU-first: every gradient coefficient (exponential-integral x Lagrange) is a
+pure function of the STATIC timestep grid and tau schedule, so it is all
+precomputed host-side in float64; the device program is `steps` model calls
+plus linear combinations and per-step Gaussian noise, unrolled under jit.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixart_sigma_tpu.diffusion.dpm_solver import (
+    ContinuousModelFn,
+    NoiseScheduleVP,
+)
+
+
+# ----------------------------------------------------------------------
+# host-side coefficient math (float64 scalars)
+# ----------------------------------------------------------------------
+
+def _exp_int_negative(order: int, a: float, b: float) -> float:
+    """Integral of exp(-x) x^order dx on [a, b] (noise-prediction branch)."""
+    eab = math.exp(b - a)
+    if order == 0:
+        return math.exp(-b) * (eab - 1)
+    if order == 1:
+        return math.exp(-b) * ((a + 1) * eab - (b + 1))
+    if order == 2:
+        return math.exp(-b) * ((a**2 + 2 * a + 2) * eab - (b**2 + 2 * b + 2))
+    if order == 3:
+        return math.exp(-b) * (
+            (a**3 + 3 * a**2 + 6 * a + 6) * eab - (b**3 + 3 * b**2 + 6 * b + 6)
+        )
+    raise ValueError(order)
+
+
+def _exp_int_positive(order: int, a: float, b: float, tau: float) -> float:
+    """Integral of exp(x(1+tau^2)) x^order dx on [a, b] (data-prediction)."""
+    s = 1 + tau**2
+    ac, bc = s * a, s * b
+    e = math.exp(bc)
+    d = math.exp(-(bc - ac))
+    if order == 0:
+        return e * (1 - d) / s
+    if order == 1:
+        return e * ((bc - 1) - (ac - 1) * d) / s**2
+    if order == 2:
+        return e * ((bc**2 - 2 * bc + 2) - (ac**2 - 2 * ac + 2) * d) / s**3
+    if order == 3:
+        return e * (
+            (bc**3 - 3 * bc**2 + 6 * bc - 6) - (ac**3 - 3 * ac**2 + 6 * ac - 6) * d
+        ) / s**4
+    raise ValueError(order)
+
+
+def _lagrange_coeffs(order: int, lams: Sequence[float]) -> List[List[float]]:
+    """Coefficients of each Lagrange basis polynomial in monomial form."""
+    assert order == len(lams) - 1
+    if order == 0:
+        return [[1.0]]
+    out = []
+    for i in range(order + 1):
+        denom = 1.0
+        for j in range(order + 1):
+            if j != i:
+                denom *= lams[i] - lams[j]
+        # expand prod_j (x - lam_j) into monomial coefficients (highest first)
+        poly = [1.0]
+        for j in range(order + 1):
+            if j == i:
+                continue
+            new = [0.0] * (len(poly) + 1)
+            for k, c in enumerate(poly):
+                new[k] += c
+                new[k + 1] += -lams[j] * c
+            poly = new
+        out.append([c / denom for c in poly])
+    return out
+
+
+def _gradient_coefficients(
+    order: int,
+    interval_start: float,
+    interval_end: float,
+    lams: Sequence[float],
+    tau: float,
+    predict_x0: bool,
+) -> List[float]:
+    """Spec: get_coefficients_fn (sa_solver.py:541-561)."""
+    assert order == len(lams)
+    lagr = _lagrange_coeffs(order - 1, lams)
+    coeffs = []
+    for i in range(order):
+        c = 0.0
+        for j in range(order):
+            if predict_x0:
+                c += lagr[i][j] * _exp_int_positive(
+                    order - 1 - j, interval_start, interval_end, tau
+                )
+            else:
+                c += lagr[i][j] * _exp_int_negative(
+                    order - 1 - j, interval_start, interval_end
+                )
+        coeffs.append(c)
+    return coeffs
+
+
+def sa_get_time_steps(
+    ns: NoiseScheduleVP, skip_type: str, t_T: float, t_0: float, N: int, order: int
+) -> np.ndarray:
+    """Spec: SASolver.get_time_steps (:398-419)."""
+    if skip_type == "logSNR":
+        lam_T = float(ns.marginal_lambda(t_T))
+        lam_0 = float(ns.marginal_lambda(t_0))
+        steps = lam_T + np.linspace(0.0, (lam_0 - lam_T) ** (1.0 / order), N + 1) ** order
+        return np.asarray(ns.inverse_lambda(steps))
+    if skip_type == "time":
+        return np.linspace(t_T ** (1.0 / order), t_0 ** (1.0 / order), N + 1) ** order
+    raise ValueError(f"unsupported skip_type {skip_type}")
+
+
+# ----------------------------------------------------------------------
+# the solver
+# ----------------------------------------------------------------------
+
+TauFn = Union[float, Callable[[float], float]]
+
+
+class SASolver:
+    """Stochastic Adams solver over a noise-prediction model_fn.
+
+    model_fn(x, t_cont) -> eps (CFG handled by the caller's wrapper, same
+    contract as DPMSolver).
+    """
+
+    def __init__(
+        self,
+        model_fn: ContinuousModelFn,
+        noise_schedule: NoiseScheduleVP,
+        algorithm_type: str = "data_prediction",
+    ):
+        assert algorithm_type in ("data_prediction", "noise_prediction")
+        self.noise_fn = model_fn
+        self.ns = noise_schedule
+        self.predict_x0 = algorithm_type == "data_prediction"
+
+    def model(self, x, t: float):
+        if self.predict_x0:
+            eps = self.noise_fn(x, t)
+            alpha_t = float(self.ns.marginal_alpha(t))
+            sigma_t = float(self.ns.marginal_std(t))
+            return (x - sigma_t * eps) / alpha_t
+        return self.noise_fn(x, t)
+
+    # ------------------------------------------------------------------
+    def _update(
+        self,
+        *,
+        order: int,
+        x,
+        tau: float,
+        model_prev: Sequence,
+        t_prev: Sequence[float],
+        noise,
+        t: float,
+        corrector: bool,
+        few_steps: bool,
+    ):
+        """Adams-Bashforth (predictor) / Adams-Moulton (corrector) update.
+
+        Spec :562-754. Corrector uses lambda at [.., t_prev[-1], t] and the
+        model list including the predicted point.
+        """
+        ns = self.ns
+        alpha_t = float(ns.marginal_alpha(t))
+        sigma_t = float(ns.marginal_std(t))
+        lam_t = float(ns.marginal_lambda(t))
+        alpha_p = float(ns.marginal_alpha(t_prev[-1]))
+        sigma_p = float(ns.marginal_std(t_prev[-1]))
+        lam_p = float(ns.marginal_lambda(t_prev[-1]))
+        h = lam_t - lam_p
+
+        if corrector:
+            t_list = list(t_prev) + [t]
+        else:
+            t_list = list(t_prev)
+        lams = [float(ns.marginal_lambda(t_list[-(i + 1)])) for i in range(order)]
+        gc = _gradient_coefficients(order, lam_p, lam_t, lams, tau, self.predict_x0)
+
+        if few_steps and self.predict_x0 and order == 2:
+            # UniPC-style O(h^3) correction (spec :667-681 / :726-737)
+            s = 1 + tau**2
+            if corrector:
+                delta = math.exp(s * lam_t) * (
+                    h / 2 - (h * s - 1 + math.exp(-s * h)) / (s**2 * h)
+                )
+            else:
+                lam_p1 = float(ns.marginal_lambda(t_prev[-2]))
+                delta = math.exp(s * lam_t) * (
+                    h**2 / 2 - (h * s - 1 + math.exp(-s * h)) / s**2
+                ) / (lam_p - lam_p1)
+            gc = list(gc)
+            gc[0] += delta
+            gc[1] -= delta
+
+        grad = jnp.zeros_like(x)
+        for i in range(order):
+            if self.predict_x0:
+                coef = (1 + tau**2) * sigma_t * math.exp(-(tau**2) * lam_t) * gc[i]
+            else:
+                coef = -(1 + tau**2) * alpha_t * gc[i]
+            grad = grad + coef * model_prev[-(i + 1)]
+
+        if self.predict_x0:
+            noise_coef = sigma_t * math.sqrt(max(0.0, 1 - math.exp(-2 * tau**2 * h)))
+            decay = math.exp(-(tau**2) * h) * (sigma_t / sigma_p)
+            return decay * x + grad + noise_coef * noise
+        noise_coef = tau * sigma_t * math.sqrt(max(0.0, math.exp(2 * h) - 1))
+        return (alpha_t / alpha_p) * x + grad + noise_coef * noise
+
+    # ------------------------------------------------------------------
+    def sample(
+        self,
+        mode: str,
+        x: jnp.ndarray,
+        tau: TauFn,
+        steps: int,
+        rng: jax.Array,
+        t_start: Optional[float] = None,
+        t_end: Optional[float] = None,
+        skip_type: str = "time",
+        skip_order: int = 1,
+        predictor_order: int = 3,
+        corrector_order: int = 4,
+        pc_mode: str = "PEC",
+        noise_fn: Optional[Callable] = None,  # (step_rng, shape, dtype) -> noise
+    ) -> jnp.ndarray:
+        """Spec: sample/sample_few_steps/sample_more_steps (:755-1097).
+
+        few_steps: NFE == steps (no final correction, rescaling trick on).
+        more_steps: NFE == steps + 2 (final correction + denoise to zero).
+        """
+        assert mode in ("few_steps", "more_steps")
+        assert pc_mode in ("PEC", "PECE")
+        few = mode == "few_steps"
+        skip_final_step = few
+        denoise_to_zero = not few
+        tau_fn = tau if callable(tau) else (lambda _t: tau)
+
+        t_0 = 1.0 / self.ns.total_N if t_end is None else t_end
+        t_T = self.ns.T if t_start is None else t_start
+        assert steps >= max(predictor_order, corrector_order - 1)
+        ts = [
+            float(v)
+            for v in sa_get_time_steps(self.ns, skip_type, t_T, t_0, steps, skip_order)
+        ]
+        rngs = list(jax.random.split(rng, steps + 1))
+        if noise_fn is None:
+            noise_fn = jax.random.normal
+
+        t_prev = [ts[0]]
+        model_prev = [self.model(x, ts[0])]
+
+        warmup_end = max(predictor_order, corrector_order - 1)
+        for step in range(1, warmup_end):
+            t = ts[step]
+            p_order = min(predictor_order, step)
+            c_order = min(corrector_order, step + 1)
+            noise = noise_fn(rngs[step], x.shape, x.dtype)
+            x_p = self._update(
+                order=p_order, x=x, tau=tau_fn(t), model_prev=model_prev,
+                t_prev=t_prev, noise=noise, t=t, corrector=False, few_steps=few,
+            )
+            model_x = self.model(x_p, t)
+            model_prev.append(model_x)
+            if corrector_order > 0:
+                x = self._update(
+                    order=c_order, x=x, tau=tau_fn(t), model_prev=model_prev,
+                    t_prev=t_prev, noise=noise, t=t, corrector=True, few_steps=few,
+                )
+                if pc_mode == "PECE":
+                    model_prev[-1] = self.model(x, t)
+            else:
+                x = x_p
+            t_prev.append(t)
+
+        for step in range(warmup_end, steps + 1):
+            t = ts[step]
+            p_order = min(predictor_order, steps - step + 1)
+            c_order = min(corrector_order, steps - step + 2)
+            noise = noise_fn(rngs[step], x.shape, x.dtype)
+            final = step == steps
+            tau_here = 0.0 if (skip_final_step and final and not denoise_to_zero) else tau_fn(t)
+            x_p = self._update(
+                order=p_order, x=x, tau=tau_here, model_prev=model_prev,
+                t_prev=t_prev, noise=noise, t=t, corrector=False, few_steps=few,
+            )
+            evaluate = (not skip_final_step) or step < steps
+            if evaluate:
+                model_prev.append(self.model(x_p, t))
+            if corrector_order > 0 and evaluate:
+                x = self._update(
+                    order=c_order, x=x, tau=tau_fn(t), model_prev=model_prev,
+                    t_prev=t_prev, noise=noise, t=t, corrector=True, few_steps=few,
+                )
+                if pc_mode == "PECE" and step < steps:
+                    model_prev[-1] = self.model(x, t)
+            else:
+                x = x_p
+            t_prev.append(t)
+            del model_prev[0]
+
+        if denoise_to_zero:
+            x = self.model(x, t_0)  # final x0 projection (:420-425)
+        return x
+
+
+def sa_solver_sample(
+    model_fn: ContinuousModelFn,
+    betas: np.ndarray,
+    x: jnp.ndarray,
+    rng: jax.Array,
+    steps: int = 25,
+    eta: float = 1.0,
+    **kwargs,
+) -> jnp.ndarray:
+    """SASolverSampler facade (sa_sampler.py:31-93): eta-tau schedule on
+    t in [0.2, 0.8], few-steps PEC with predictor/corrector order 2."""
+    ns = NoiseScheduleVP("discrete", betas=betas)
+    solver = SASolver(model_fn, ns, algorithm_type="data_prediction")
+    tau_fn = lambda t: eta if 0.2 <= t <= 0.8 else 0.0
+    kwargs.setdefault("predictor_order", 2)
+    kwargs.setdefault("corrector_order", 2)
+    return solver.sample(
+        "few_steps", x, tau_fn, steps, rng, skip_type="time", skip_order=1,
+        pc_mode="PEC", **kwargs,
+    )

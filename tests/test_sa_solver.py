@@ -1,0 +1,90 @@
+"""SA-Solver parity vs the torch reference (deterministic: zero noise)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from pixart_sigma_tpu.diffusion.dpm_solver import NoiseScheduleVP
+from pixart_sigma_tpu.diffusion.sa_solver import SASolver
+from pixart_sigma_tpu.diffusion.schedules import named_beta_schedule
+from tests.reference_shim import install_reference
+
+install_reference()
+from diffusion.model import sa_solver as ref_sa  # noqa: E402
+
+BETAS = named_beta_schedule("linear", 1000)
+FAKE_W = np.random.RandomState(5).randn(4, 4).astype(np.float64) * 0.1
+
+
+def _zero_noise(rng, shape, dtype=jnp.float32):
+    return jnp.zeros(shape, dtype)
+
+
+@pytest.mark.parametrize(
+    "mode,steps,p_order,c_order,eta",
+    [
+        ("few_steps", 8, 2, 2, 0.0),
+        ("few_steps", 8, 2, 2, 1.0),
+        ("few_steps", 10, 3, 4, 0.7),
+        ("more_steps", 10, 2, 2, 1.0),
+    ],
+)
+def test_sa_solver_matches_reference(mode, steps, p_order, c_order, eta, monkeypatch):
+    B, D = 2, 4
+    x0 = np.random.RandomState(6).randn(B, D).astype(np.float64)
+    tau_fn = lambda t: eta if 0.2 <= t <= 0.8 else 0.0
+
+    # ---- reference (float64, zero noise) ----
+    monkeypatch.setattr(
+        ref_sa.torch, "randn_like", lambda x: torch.zeros_like(x), raising=True
+    )
+    ref_ns = ref_sa.NoiseScheduleVP(
+        "discrete",
+        betas=torch.tensor(BETAS, dtype=torch.float64),
+        dtype=torch.float64,
+    )
+
+    def ref_model(x, t_cont):
+        t_input = (t_cont - 1.0 / ref_ns.total_N) * 1000.0
+        return torch.tanh(x @ torch.from_numpy(FAKE_W)) * (
+            1.0 + t_input[0] / 2000.0
+        )
+
+    ref_solver = ref_sa.SASolver(ref_model, ref_ns, algorithm_type="data_prediction")
+    want = ref_solver.sample(
+        mode=mode,
+        x=torch.from_numpy(x0),
+        tau=tau_fn,
+        steps=steps,
+        skip_type="time",
+        skip_order=1,
+        predictor_order=p_order,
+        corrector_order=c_order,
+        pc_mode="PEC",
+    ).numpy()
+
+    # ---- ours (float64 via enable_x64, zero noise) ----
+    ns = NoiseScheduleVP("discrete", betas=BETAS)
+
+    def model_fn(x, t_cont):
+        t_input = (jnp.asarray(t_cont) - 1.0 / ns.total_N) * 1000.0
+        return jnp.tanh(x @ FAKE_W) * (1.0 + t_input / 2000.0)
+
+    solver = SASolver(model_fn, ns, algorithm_type="data_prediction")
+    with jax.enable_x64(True):
+        got = solver.sample(
+            mode,
+            jnp.asarray(x0),
+            tau_fn,
+            steps,
+            jax.random.PRNGKey(0),
+            skip_type="time",
+            skip_order=1,
+            predictor_order=p_order,
+            corrector_order=c_order,
+            pc_mode="PEC",
+            noise_fn=_zero_noise,
+        )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-8)
