@@ -75,6 +75,36 @@ def install_reference() -> None:
     _stub("torchvision", transforms=_Any())
     _stub("torchvision.transforms", InterpolationMode=_Any())
 
+    # minimal functional diffusers stand-ins (ConfigMixin/register_to_config)
+    import functools
+    import inspect
+    from types import SimpleNamespace
+
+    def register_to_config(init):
+        @functools.wraps(init)
+        def wrapped(self, *args, **kwargs):
+            sig = inspect.signature(init)
+            bound = sig.bind(self, *args, **kwargs)
+            bound.apply_defaults()
+            cfg = {k: v for k, v in bound.arguments.items() if k != "self"}
+            self.config = SimpleNamespace(**cfg)
+            return init(self, *args, **kwargs)
+
+        return wrapped
+
+    class _ConfigMixin:
+        pass
+
+    class _SchedulerMixin:
+        pass
+
+    class _BaseOutput:
+        pass
+
+    _stub("diffusers", ConfigMixin=_ConfigMixin, SchedulerMixin=_SchedulerMixin)
+    _stub("diffusers.configuration_utils", register_to_config=register_to_config)
+    _stub("diffusers.utils", BaseOutput=_BaseOutput)
+
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
     _installed = True
