@@ -1,0 +1,149 @@
+"""Data pipeline tests: ratio tables vs reference, datasets, sampler, loader."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import pixart_sigma_tpu.data.aspect as aspect
+from pixart_sigma_tpu.data import (
+    AspectRatioBatchSampler,
+    DataLoader,
+    PixArtDataset,
+    PixArtMSDataset,
+    get_closest_ratio,
+)
+import importlib.util as _ilu
+
+# load the reference's pure-data table module directly (its package __init__
+# drags in torchvision/diffusers which aren't installed)
+_spec = _ilu.spec_from_file_location(
+    "ref_data_utils", "/root/reference/diffusion/data/datasets/utils.py"
+)
+ref_utils = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(ref_utils)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ASPECT_RATIO_256", "ASPECT_RATIO_512", "ASPECT_RATIO_1024",
+        "ASPECT_RATIO_2048", "ASPECT_RATIO_2880",
+        "ASPECT_RATIO_256_TEST", "ASPECT_RATIO_512_TEST",
+        "ASPECT_RATIO_1024_TEST", "ASPECT_RATIO_2048_TEST",
+        "ASPECT_RATIO_2880_TEST",
+    ],
+)
+def test_ratio_tables_match_reference(name):
+    ours = getattr(aspect, name)
+    theirs = getattr(ref_utils, name)
+    assert set(ours.keys()) == set(theirs.keys()), name
+    for k in theirs:
+        assert list(map(float, ours[k])) == list(map(float, theirs[k])), (name, k)
+
+
+def test_get_closest_ratio():
+    size, key = get_closest_ratio(512, 512, aspect.ASPECT_RATIO_512)
+    assert key == 1.0 and size == [512.0, 512.0]
+    size, key = get_closest_ratio(300, 600, aspect.ASPECT_RATIO_512)
+    assert key == 0.5
+
+
+def _make_fake_sigma_root(tmp_path, n=24):
+    """data_info.json + npz/npy features in the Sigma layout."""
+    root = tmp_path / "InternData"
+    (root / "caption_features_new").mkdir(parents=True)
+    (root / "img_sdxl_vae_features_256resolution_new").mkdir()
+    (root / "img_sdxl_vae_features_256resolution_ms_new").mkdir()
+    imgs = tmp_path / "InternImgs"
+    imgs.mkdir()
+    rng = np.random.RandomState(0)
+    meta = []
+    shapes = [(256, 256), (512, 256), (256, 512), (300, 300)]
+    for i in range(n):
+        h, w = shapes[i % len(shapes)]
+        name = f"img_{i}.png"
+        Image.fromarray(
+            rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        ).save(imgs / name)
+        L = 20 + i % 5
+        np.savez(
+            root / "caption_features_new" / f"img_{i}.npz",
+            caption_feature=rng.randn(1, L, 64).astype(np.float16),
+            attention_mask=np.ones((1, L), np.int16),
+        )
+        lat = rng.randn(8, h // 8, w // 8).astype(np.float32)  # [2C, h, w]
+        np.save(root / "img_sdxl_vae_features_256resolution_new" / f"img_{i}.npy", lat)
+        np.save(
+            root / "img_sdxl_vae_features_256resolution_ms_new" / f"img_{i}.npy", lat
+        )
+        meta.append(
+            {"path": name, "prompt": f"prompt {i}", "sharegpt4v": f"gpt {i}",
+             "ratio": h / w, "height": h, "width": w}
+        )
+    with open(root / "data_info.json", "w") as f:
+        json.dump(meta, f)
+    return str(root)
+
+
+def test_dataset_image_mode(tmp_path):
+    root = _make_fake_sigma_root(tmp_path)
+    ds = PixArtDataset(root, resolution=256, max_length=32, dialect="sigma")
+    item = ds[0]
+    assert item["image"].shape == (256, 256, 3)
+    assert item["image"].min() >= -1.0 and item["image"].max() <= 1.0
+    assert item["y_mask"].shape == (32,)
+
+
+def test_dataset_feature_mode(tmp_path):
+    root = _make_fake_sigma_root(tmp_path)
+    ds = PixArtDataset(
+        root, resolution=256, max_length=32, load_vae_feat=True,
+        load_t5_feat=True, dialect="sigma",
+    )
+    item = ds[0]
+    assert item["latents"].shape == (32, 32, 4)
+    assert item["y"].shape == (32, 64)
+    assert int(item["y_mask"].sum()) == 20  # valid tokens; rest zero-padded
+
+
+def test_ms_dataset_and_sampler(tmp_path):
+    root = _make_fake_sigma_root(tmp_path)
+    ds = PixArtMSDataset(
+        root, resolution=256, max_length=32, aspect_ratio_type=256,
+        dialect="sigma",
+    )
+    sampler = AspectRatioBatchSampler(
+        ds, batch_size=2, aspect_ratios=aspect.ASPECT_RATIO_256, drop_last=True
+    )
+    batches = list(iter(sampler))
+    assert batches, "no batches produced"
+    for batch in batches:
+        hws = {ds.bucket_hw(i)[0] for i in batch}
+        assert len(hws) == 1, "mixed buckets in one batch"
+        assert len(batch) == 2
+
+
+def test_loader_collates_and_prefetches(tmp_path):
+    root = _make_fake_sigma_root(tmp_path)
+    ds = PixArtMSDataset(
+        root, resolution=256, max_length=32, aspect_ratio_type=256,
+        load_vae_feat=False, load_t5_feat=True, dialect="sigma",
+    )
+    sampler = AspectRatioBatchSampler(
+        ds, batch_size=2, aspect_ratios=aspect.ASPECT_RATIO_256
+    )
+    loader = DataLoader(ds, sampler, num_workers=2, prefetch=2)
+    n = 0
+    for batch in loader:
+        assert batch["image"].shape[0] == 2
+        assert batch["y"].shape == (2, 32, 64)
+        assert isinstance(batch["prompt"], list)
+        n += 1
+    assert n >= 2
+
+    # resume fast-forward skips batches deterministically
+    loader2 = DataLoader(ds, sampler, num_workers=2, skip_batches=n - 1)
+    assert len(list(iter(loader2))) == 1
