@@ -1,0 +1,74 @@
+"""T5 encoder parity vs transformers' torch T5EncoderModel (tiny config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from pixart_sigma_tpu.models.t5 import (
+    T5Config,
+    T5Encoder,
+    hf_t5_to_flax,
+    relative_position_bucket,
+)
+
+
+def _torch_tiny():
+    from transformers import T5Config as HFT5Config, T5EncoderModel
+
+    hf_cfg = HFT5Config(
+        vocab_size=128,
+        d_model=32,
+        d_kv=8,
+        d_ff=64,
+        num_layers=2,
+        num_heads=4,
+        feed_forward_proj="gated-gelu",
+        dropout_rate=0.0,
+        is_encoder_decoder=False,
+        use_cache=False,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    return T5EncoderModel(hf_cfg).eval()
+
+
+def test_relative_position_bucket_matches_hf():
+    from transformers.models.t5.modeling_t5 import T5Attention as HFT5Attention
+
+    pos = np.arange(40)
+    rel = pos[None, :] - pos[:, None]
+    ours = relative_position_bucket(rel, 32, 128)
+    theirs = HFT5Attention._relative_position_bucket(
+        torch.from_numpy(rel), bidirectional=True, num_buckets=32, max_distance=128
+    ).numpy()
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_t5_encoder_matches_transformers():
+    model = _torch_tiny()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    cfg = T5Config.small_test()
+    params = hf_t5_to_flax(sd, cfg)
+
+    rng = np.random.RandomState(0)
+    B, L = 2, 16
+    ids = rng.randint(0, 128, (B, L))
+    mask = np.ones((B, L), np.int64)
+    mask[0, 10:] = 0
+
+    with torch.no_grad():
+        want = model(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+        ).last_hidden_state.numpy()
+
+    enc = T5Encoder(cfg)
+    got = enc.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+    # only compare valid positions (HF also computes padded ones but they are
+    # never attended to; values there may differ)
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], want[valid], rtol=2e-4, atol=2e-5
+    )
