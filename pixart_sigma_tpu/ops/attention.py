@@ -65,20 +65,24 @@ def attention(
         )
         bias = key_bias if bias is None else bias + key_bias
 
-    if impl == "flash" or (impl == "auto" and _flash_ok(q, k)):
+    if impl == "flash" or (impl == "auto" and _flash_ok(q, k, bias)):
         from pixart_sigma_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, bias=bias)
     return _xla_attention(q, k, v, bias, fp32_softmax)
 
 
-def _flash_ok(q: jnp.ndarray, k: jnp.ndarray) -> bool:
-    """Use the Pallas kernel only on real TPU backends with aligned shapes."""
+def _flash_ok(q: jnp.ndarray, k: jnp.ndarray, bias) -> bool:
+    """Use the Pallas kernel on TPU when the (unbiased) shapes tile cleanly."""
+    if bias is not None:
+        return False  # masked/cross attention stays on the XLA path (M small)
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:
         return False
-    if platform not in ("tpu",):
+    if platform != "tpu":
         return False
-    # kernel requires lane-aligned head_dim and reasonably long sequences
-    return q.shape[-1] % 128 == 0 and q.shape[1] >= 256 and k.shape[1] >= 128
+    from pixart_sigma_tpu.ops.flash_attention import supported
+
+    # worth it only for long sequences (self-attention over latent tokens)
+    return q.shape[1] >= 1024 and supported(q.shape[1], k.shape[1])

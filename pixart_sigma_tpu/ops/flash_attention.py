@@ -1,0 +1,324 @@
+"""Pallas TPU flash attention (forward + backward) for the DiT hot path.
+
+Replaces xformers.memory_efficient_attention (reference
+PixArt_blocks.py:53,153). Online-softmax tiling: the [N, M] logit matrix is
+never materialised in HBM — at 4K resolution (16k latent tokens) that is the
+difference between ~34 GB of logits and a few MB of VMEM tiles.
+
+Design (see /opt/skills/guides/pallas_guide.md):
+- layout [B*H, N, D]; head_dim (72 for PixArt-XL) zero-padded to the 128-lane
+  width — zero K/Q lanes don't change logits, zero V lanes are sliced off
+- 3D grid (batch*heads, q-blocks, kv-blocks): the kv dimension is innermost
+  and iterated sequentially, carrying (m, l, acc) state in VMEM scratch with
+  @pl.when init/flush at the first/last kv step; Pallas double-buffers the
+  K/V block DMAs. VMEM use is bounded by the block sizes, independent of
+  sequence length (16k+ tokens supported)
+- fp32 softmax always (the kernel subsumes the reference's fp32_attention
+  NaN-avoidance flag)
+- backward = standard two-kernel flash bwd (dkv sweeping q-blocks, dq
+  sweeping kv-blocks) using the saved logsumexp; recomputes P
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+_NEG_INF = -1e30
+_LANES = 8  # minor-dim width for lse/delta (block last-dim == array last-dim)
+
+
+def _pad_heads(x: jnp.ndarray, d_pad: int) -> jnp.ndarray:
+    if x.shape[-1] == d_pad:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, d_pad - x.shape[-1])]
+    return jnp.pad(x, pad)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale
+):
+    """Grid (BH, nq, nk); kv innermost. lse_ref None => inference variant."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
+    k = k_ref[0].astype(jnp.float32)  # [BK, D]
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, BK]
+    m_prev = m_scr[:, 0:1]  # [BQ, 1]
+    l_prev = l_scr[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == nk - 1)
+    def _flush():
+        l = l_scr[:, 0:1]
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0] = jnp.broadcast_to(
+                m_scr[:, 0:1] + jnp.log(l), lse_ref.shape[1:]
+            )
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k, with_lse=True):
+    """q [BH, N, D], k/v [BH, M, D] -> (out, lse [BH, N, _LANES] or None)."""
+    BH, N, D = q.shape
+    M = k.shape[1]
+    grid = (BH, N // block_q, M // block_k)
+    in_specs = [
+        pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    o_spec = pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((block_q, _LANES), jnp.float32),  # running max
+        pltpu.VMEM((block_q, _LANES), jnp.float32),  # running denom
+        pltpu.VMEM((block_q, D), jnp.float32),  # output accumulator
+    ]
+    if not with_lse:
+        kernel = lambda q_ref, k_ref, v_ref, o_ref, m_s, l_s, a_s: _fwd_kernel(
+            q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, a_s, scale=scale
+        )
+        out = pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs, out_specs=o_spec,
+            out_shape=jax.ShapeDtypeStruct((BH, N, D), q.dtype),
+            scratch_shapes=scratch,
+        )(q, k, v)
+        return out, None
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            o_spec,
+            pl.BlockSpec((1, block_q, _LANES), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, N, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, N, _LANES), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+    )(q, k, v)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr, *, scale,
+):
+    """Grid (BH, nkv, nq); one kv-block per (b, j), sweep q innermost."""
+    i = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    k = k_ref[0].astype(jnp.float32)  # [BK, D]
+    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, 0:1]  # [BQ, 1]
+    delta = delta_ref[0][:, 0:1]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, BK]
+    p = jnp.exp(s - lse)
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * scale
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == nq - 1)
+    def _flush():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *, scale
+):
+    """Grid (BH, nq, nkv); one q-block per (b, i), sweep kv innermost."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, 0:1]
+    delta = delta_ref[0][:, 0:1]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * scale
+    dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nk - 1)
+    def _flush():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd(res, g, scale, block_q, block_k):
+    q, k, v, out, lse = res
+    BH, N, D = q.shape
+    M = k.shape[1]
+    do = g
+    delta2d = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta2d[..., None], (BH, N, _LANES))
+
+    # dkv: grid (BH, nkv, nq) — q/do/lse blocks stream along the inner dim
+    qd_spec = pl.BlockSpec((1, block_q, D), lambda b, j, i: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, block_q, _LANES), lambda b, j, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_k, D), lambda b, j, i: (b, j, 0),
+                           memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale),
+        grid=(BH, M // block_k, N // block_q),
+        in_specs=[qd_spec, kv_spec, kv_spec, qd_spec, lse_spec, lse_spec],
+        out_specs=[kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, M, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, M, D), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+    )(q, k, v, do, lse, delta)
+
+    # dq: grid (BH, nq, nkv) — k/v blocks stream along the inner dim
+    qd_spec2 = pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    lse_spec2 = pl.BlockSpec((1, block_q, _LANES), lambda b, i, j: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    kv_spec2 = pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0),
+                            memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale),
+        grid=(BH, N // block_q, M // block_k),
+        in_specs=[qd_spec2, kv_spec2, kv_spec2, qd_spec2, lse_spec2, lse_spec2],
+        out_specs=qd_spec2,
+        out_shape=jax.ShapeDtypeStruct((BH, N, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# public API with custom VJP
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_core(q, k, v, scale, block_q, block_k):
+    out, _ = _flash_fwd(q, k, v, scale, block_q, block_k, with_lse=False)
+    return out
+
+
+def _flash_core_fwd(q, k, v, scale, block_q, block_k):
+    out, lse = _flash_fwd(q, k, v, scale, block_q, block_k, with_lse=True)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_core_bwd(scale, block_q, block_k, res, g):
+    return _flash_bwd(res, g, scale, block_q, block_k)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def supported(n: int, m: int, block_q: int = DEFAULT_BLOCK_Q,
+              block_k: int = DEFAULT_BLOCK_K) -> bool:
+    bq = min(block_q, n)
+    bk = min(block_k, m)
+    return n % bq == 0 and m % bk == 0 and bk % 128 == 0 and bq % 128 == 0
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Flash attention over [B, N, H, Dh] (+[B, M, H, Dh] kv). No-bias path.
+
+    Fallback is the caller's job (ops.attention handles dispatch); bias is
+    not yet supported by the kernel — masked/cross attention stays on the
+    XLA path where M is small (300 caption tokens).
+    """
+    assert bias is None, "flash kernel: bias path not implemented; use impl='xla'"
+    B, N, H, Dh = q.shape
+    M = k.shape[1]
+    bq = min(block_q, N)
+    bk = min(block_k, M)
+    assert supported(N, M, bq, bk), (N, M, bq, bk)
+
+    d_pad = max(128, ((Dh + 127) // 128) * 128)
+    scale = Dh**-0.5  # scale by TRUE head dim, not the padded one
+
+    def to_bh(x):
+        return _pad_heads(
+            x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], Dh), d_pad
+        )
+
+    out = _flash_core(to_bh(q), to_bh(k), to_bh(v), scale, bq, bk)
+    out = out[..., :Dh].reshape(B, H, N, Dh).transpose(0, 2, 1, 3)
+    return out

@@ -17,8 +17,13 @@ _installed = False
 
 
 def _stub(name: str, **attrs) -> types.ModuleType:
+    import importlib.machinery
+
     mod = types.ModuleType(name)
     mod.__path__ = []  # let it act as a package for submodule imports
+    # a real ModuleSpec so importlib.util.find_spec (e.g. transformers'
+    # package detection) doesn't crash on the stub
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None, is_package=True)
     for key, val in attrs.items():
         setattr(mod, key, val)
     sys.modules[name] = mod
