@@ -259,16 +259,14 @@ class PixArt(nn.Module):
 def PixArt_XL_2(**overrides) -> PixArt:
     """0.6B fixed-resolution model (PixArt.py:313-315)."""
     overrides.setdefault("multi_scale", False)
-    cfg = PixArtConfig(
-        depth=28, hidden_size=1152, patch_size=2, num_heads=16, **overrides
-    )
-    return PixArt(cfg)
+    kw = dict(depth=28, hidden_size=1152, patch_size=2, num_heads=16)
+    kw.update(overrides)
+    return PixArt(PixArtConfig(**kw))
 
 
 def PixArtMS_XL_2(**overrides) -> PixArt:
     """0.6B multi-scale model (PixArtMS.py:291-293)."""
     overrides.setdefault("multi_scale", True)
-    cfg = PixArtConfig(
-        depth=28, hidden_size=1152, patch_size=2, num_heads=16, **overrides
-    )
-    return PixArt(cfg)
+    kw = dict(depth=28, hidden_size=1152, patch_size=2, num_heads=16)
+    kw.update(overrides)
+    return PixArt(PixArtConfig(**kw))

@@ -84,5 +84,7 @@ def _flash_ok(q: jnp.ndarray, k: jnp.ndarray, bias) -> bool:
         return False
     from pixart_sigma_tpu.ops.flash_attention import supported
 
-    # worth it only for long sequences (self-attention over latent tokens)
-    return q.shape[1] >= 1024 and supported(q.shape[1], k.shape[1])
+    # the XLA fused path wins up to ~4k tokens (head-dim padding costs the
+    # kernel ~1.8x MXU work at Dh=72); beyond that XLA materialises the
+    # [N, M] logits and OOMs — flash is mandatory for 2K/4K latent grids
+    return q.shape[1] >= 8192 and supported(q.shape[1], k.shape[1])

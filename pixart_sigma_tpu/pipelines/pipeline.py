@@ -1,0 +1,264 @@
+"""PixArtPipeline: the diffusers-style txt2img entry point.
+
+Specs: scripts/inference.py:53-143 (visualize() — the three sampler
+branches), scripts/diffusers_patches.py:479-573 (PixArtSigmaPipeline), and
+app/app_pixart_dmd.py:193-204 (one-step DMD operating point).
+
+Every sampler trajectory is one jitted on-device program (compiled per
+static (batch, H, W, steps) and cached); CFG is batched 2x inside. T5 encode
+and VAE decode are separate jitted programs; 2K/4K decode goes through the
+tiled decoder.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixart_sigma_tpu.diffusion import IDDPM
+from pixart_sigma_tpu.diffusion.dpm_solver import (
+    DPMSolver,
+    NoiseScheduleVP,
+    make_cfg_model_fn,
+)
+from pixart_sigma_tpu.diffusion.lcm import LCMScheduler
+from pixart_sigma_tpu.diffusion.sa_solver import SASolver
+from pixart_sigma_tpu.diffusion.schedules import named_beta_schedule
+from pixart_sigma_tpu.data.aspect import aspect_ratio_table, get_closest_ratio
+from pixart_sigma_tpu.utils.prompt import prepare_prompt_ar
+
+
+class PixArtPipeline:
+    """Bundles denoiser + T5 + VAE and runs the samplers.
+
+    model/params: the PixArt flax module + param dict ({'params': ...}).
+    t5: a T5Embedder (or None to accept precomputed embeddings).
+    vae/vae_params: AutoencoderKL (or None to return raw latents).
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        t5=None,
+        vae=None,
+        vae_params=None,
+        scale_factor: float = 0.13025,
+        beta_schedule: str = "linear",
+        num_train_timesteps: int = 1000,
+        base_resolution: int = 1024,
+    ):
+        self.model = model
+        self.params = params
+        self.t5 = t5
+        self.vae = vae
+        self.vae_params = vae_params
+        self.scale_factor = scale_factor
+        self.betas = named_beta_schedule(beta_schedule, num_train_timesteps)
+        self.ns = NoiseScheduleVP("discrete", betas=self.betas)
+        self.base_resolution = base_resolution
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------- encoders
+    def encode_prompts(self, prompts: Sequence[str]):
+        assert self.t5 is not None, "pipeline built without a T5 encoder"
+        return self.t5.get_text_embeddings(list(prompts))
+
+    def null_embedding(self, batch: int):
+        """T5 embedding of the empty prompt (reference inference.py:199-202)."""
+        y, mask = self.encode_prompts([""] * batch)
+        return y, mask
+
+    # ------------------------------------------------------------- samplers
+    def _latents_to_images(self, latents: jnp.ndarray) -> np.ndarray:
+        if self.vae is None:
+            return np.asarray(latents)
+        from pixart_sigma_tpu.models.vae import AutoencoderKL, tiled_decode
+
+        z = latents / self.scale_factor
+
+        decode = self._cached(
+            ("vae_decode",),
+            lambda: jax.jit(
+                lambda p, z: self.vae.apply(p, z, method=AutoencoderKL.decode)
+            ),
+        )
+        if z.shape[1] > 128 or z.shape[2] > 128:  # beyond 1024px: tile
+            img = tiled_decode(lambda zz: decode(self.vae_params, zz), z)
+        else:
+            img = decode(self.vae_params, z)
+        img = np.asarray(jnp.clip((img + 1.0) / 2.0, 0.0, 1.0))
+        return (img * 255).round().astype(np.uint8)
+
+    def _cached(self, key, build):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = build()
+        return self._jit_cache[key]
+
+    def __call__(
+        self,
+        prompts: Union[str, Sequence[str]],
+        *,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_inference_steps: int = 20,
+        guidance_scale: float = 4.5,
+        sampler: str = "dpm-solver",  # 'dpm-solver'|'iddpm'|'sa-solver'|'lcm'
+        seed: int = 0,
+        negative_prompt: str = "",
+        y: Optional[jnp.ndarray] = None,
+        y_mask: Optional[jnp.ndarray] = None,
+        y_null: Optional[jnp.ndarray] = None,
+        return_latents: bool = False,
+    ) -> np.ndarray:
+        """Generate images. Prompts may carry --ar h:w / --hw h:w flags."""
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        B = len(prompts)
+        ratios = aspect_ratio_table(self.base_resolution, test=True)
+
+        clean_prompts, hws, ars = [], [], []
+        for p in prompts:
+            cp, hw, ar, _ = prepare_prompt_ar(p, ratios)
+            clean_prompts.append(cp)
+            hws.append(hw[0])
+            ars.append(ar[0])
+        if height is None or width is None:
+            height, width = int(hws[0][0]), int(hws[0][1])
+        h, w = height // 8, width // 8
+
+        if y is None:
+            y, y_mask = self.encode_prompts(clean_prompts)
+        if y_null is None:
+            null_y, null_mask = self.encode_prompts([negative_prompt] * B)
+        else:
+            null_y, null_mask = y_null, y_mask
+        mask_full = jnp.concatenate([null_mask, y_mask], axis=0)
+
+        img_hw = jnp.asarray(np.stack(hws), jnp.float32)
+        aspect = jnp.asarray(np.stack(ars), jnp.float32)
+        micro = getattr(self.model.cfg, "micro_condition", False)
+
+        rng = jax.random.PRNGKey(seed)
+        rng, init_rng = jax.random.split(rng)
+        x = jax.random.normal(init_rng, (B, h, w, 4), jnp.float32)
+
+        key = (sampler, B, h, w, num_inference_steps, float(guidance_scale), micro)
+        if sampler == "dpm-solver":
+            fn = self._cached(key, lambda: self._build_dpm(
+                B, h, w, num_inference_steps, guidance_scale, micro))
+            latents = fn(self.params, x, y, null_y, mask_full, img_hw, aspect)
+        elif sampler == "sa-solver":
+            fn = self._cached(key, lambda: self._build_sa(
+                B, h, w, num_inference_steps, guidance_scale, micro))
+            latents = fn(self.params, x, y, null_y, mask_full, img_hw, aspect, rng)
+        elif sampler == "iddpm":
+            fn = self._cached(key, lambda: self._build_iddpm(
+                B, h, w, num_inference_steps, guidance_scale, micro))
+            latents = fn(self.params, x, y, null_y, mask_full, img_hw, aspect, rng)
+        elif sampler == "lcm":
+            fn = self._cached(key, lambda: self._build_lcm(
+                B, h, w, num_inference_steps, micro))
+            latents = fn(self.params, x, y, y_mask, img_hw, aspect, rng)
+        else:
+            raise ValueError(f"unknown sampler {sampler}")
+
+        if return_latents:
+            return np.asarray(latents)
+        return self._latents_to_images(latents)
+
+    # ---------------------------------------------------------- builders
+    def _apply_eps(self, params, x, t_vec, cond, mask, img_hw, aspect, micro):
+        kwargs = {}
+        if micro:
+            n = x.shape[0] // img_hw.shape[0]
+            kwargs = dict(
+                img_hw=jnp.tile(img_hw, (n, 1)),
+                aspect_ratio=jnp.tile(aspect, (n, 1)),
+            )
+        out = self.model.apply(params, x, t_vec, cond, mask, **kwargs)
+        return out[..., :4]
+
+    def _build_dpm(self, B, h, w, steps, cfg_scale, micro):
+        def run(params, x, y, null_y, mask, img_hw, aspect):
+            apply_fn = lambda xi, t, c, **kw: self._apply_eps(
+                params, xi, t, c, mask, img_hw, aspect, micro
+            )
+            model_fn = make_cfg_model_fn(
+                apply_fn, self.ns, condition=y, uncondition=null_y,
+                cfg_scale=cfg_scale,
+            )
+            solver = DPMSolver(model_fn, self.ns, algorithm_type="dpmsolver++")
+            return solver.sample(x, steps=steps, order=2, method="multistep")
+
+        return jax.jit(run)
+
+    def _build_sa(self, B, h, w, steps, cfg_scale, micro):
+        def run(params, x, y, null_y, mask, img_hw, aspect, rng):
+            apply_fn = lambda xi, t, c, **kw: self._apply_eps(
+                params, xi, t, c, mask, img_hw, aspect, micro
+            )
+            model_fn = make_cfg_model_fn(
+                apply_fn, self.ns, condition=y, uncondition=null_y,
+                cfg_scale=cfg_scale,
+            )
+            solver = SASolver(model_fn, self.ns, algorithm_type="data_prediction")
+            tau = lambda t: 1.0 if 0.2 <= t <= 0.8 else 0.0
+            return solver.sample(
+                "few_steps", x, tau, steps, rng,
+                predictor_order=2, corrector_order=2, pc_mode="PEC",
+            )
+
+        return jax.jit(run)
+
+    def _build_iddpm(self, B, h, w, steps, cfg_scale, micro):
+        diffusion = IDDPM(timestep_respacing=str(steps), learn_sigma=True)
+
+        def run(params, x, y, null_y, mask, img_hw, aspect, rng):
+            y_full = jnp.concatenate([y, null_y], axis=0)  # cond first: fwd_with_cfg
+
+            def model_fn(x_t, t_vec):
+                # batched CFG inside forward_with_cfg (PixArtMS.py:221-234)
+                x2 = jnp.concatenate([x_t, x_t], axis=0)
+                kwargs = {}
+                if micro:
+                    kwargs = dict(
+                        img_hw=jnp.tile(img_hw, (2, 1)),
+                        aspect_ratio=jnp.tile(aspect, (2, 1)),
+                    )
+                out = self.model.apply(
+                    params, x2, jnp.concatenate([t_vec, t_vec]), y_full,
+                    mask, **kwargs
+                )
+                eps, rest = out[..., :3], out[..., 3:]
+                cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)
+                half = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
+                return jnp.concatenate([half, rest[:B]], axis=-1)
+
+            return diffusion.p_sample_loop(
+                model_fn, (B, h, w, 4), rng, noise=x, clip_denoised=False
+            )
+
+        return jax.jit(run)
+
+    def _build_lcm(self, B, h, w, steps, micro):
+        scheduler = LCMScheduler()
+
+        def run(params, x, y, y_mask, img_hw, aspect, rng):
+            def model_fn(x_t, t_vec):
+                kwargs = {}
+                if micro:
+                    kwargs = dict(img_hw=img_hw, aspect_ratio=aspect)
+                out = self.model.apply(params, x_t, t_vec, y, y_mask, **kwargs)
+                return out[..., :4]
+
+            return scheduler.sample(
+                model_fn, (B, h, w, 4), rng,
+                num_inference_steps=steps, noise=x,
+            )
+
+        return jax.jit(run)

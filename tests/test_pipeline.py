@@ -1,0 +1,73 @@
+"""Pipeline smoke tests with a tiny model and precomputed embeddings."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pixart_sigma_tpu.config import read_config
+from pixart_sigma_tpu.models.builder import build_model_from_config
+from pixart_sigma_tpu.models.pixart import PixArt, PixArtConfig
+from pixart_sigma_tpu.pipelines import PixArtPipeline
+
+
+def _tiny_pipeline(micro=False):
+    cfg = PixArtConfig(
+        depth=2, hidden_size=48, num_heads=4, caption_channels=32,
+        model_max_length=8, micro_condition=micro, dtype=jnp.float32,
+    )
+    model = PixArt(cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.zeros((1, 8, 8, 4))
+    y = jnp.zeros((1, 8, 32))
+    mask = jnp.ones((1, 8), jnp.int32)
+    kwargs = {}
+    if micro:
+        kwargs = dict(img_hw=jnp.ones((1, 2)), aspect_ratio=jnp.ones((1, 1)))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)), y, mask, **kwargs)
+    pipe = PixArtPipeline(model, params, base_resolution=256)
+    B, L = 2, 8
+    y = jnp.asarray(rng.randn(B, L, 32).astype(np.float32))
+    null_y = jnp.asarray(rng.randn(B, L, 32).astype(np.float32))
+    mask = jnp.ones((B, L), jnp.int32)
+    return pipe, y, null_y, mask
+
+
+@pytest.mark.parametrize("sampler,steps", [
+    ("dpm-solver", 5), ("sa-solver", 5), ("iddpm", 6), ("lcm", 2),
+])
+def test_pipeline_samplers(sampler, steps):
+    pipe, y, null_y, mask = _tiny_pipeline()
+    out = pipe(
+        ["a cat", "a dog"], height=64, width=64,
+        num_inference_steps=steps, sampler=sampler,
+        y=y, y_mask=mask, y_null=null_y, return_latents=True,
+    )
+    assert out.shape == (2, 8, 8, 4)
+    assert np.isfinite(out).all(), sampler
+
+
+def test_pipeline_micro_condition_and_ar_prompt():
+    pipe, y, null_y, mask = _tiny_pipeline(micro=True)
+    out = pipe(
+        ["a cat --ar 1:2", "a dog --ar 1:2"],
+        num_inference_steps=4, sampler="dpm-solver",
+        y=y, y_mask=mask, y_null=null_y, return_latents=True,
+    )
+    # --ar 1:2 at base 256 snaps to the 0.5 bucket [176, 352]
+    assert out.shape == (2, 176 // 8, 352 // 8, 4)
+
+
+def test_config_system_inheritance():
+    cfg = read_config(
+        "configs/pixart_sigma_config/PixArt_sigma_xl2_img1024_internalms_kvcompress.py"
+    )
+    assert cfg.image_size == 1024
+    assert cfg.kv_compress is True
+    assert cfg.kv_compress_config["sampling"] == "conv"
+    assert cfg.optimizer["type"] == "came"  # inherited from 512ms
+    assert cfg.ema_rate == 0.9999  # from the base
+    model = build_model_from_config(cfg, depth=2, hidden_size=48, num_heads=4,
+                                    caption_channels=32)
+    assert model.cfg.kv_compress_layers == tuple(range(14, 28))
+    assert model.cfg.pe_interpolation == 2.0
