@@ -56,16 +56,25 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                skipped = 0
-                for batch_idx in self.batch_sampler:
-                    if stop.is_set():
-                        return
-                    if skipped < self.skip_batches:
-                        skipped += 1
-                        continue
-                    items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    q.put(collate(items))
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    skipped = 0
+                    for batch_idx in self.batch_sampler:
+                        if stop.is_set():
+                            return
+                        if skipped < self.skip_batches:
+                            skipped += 1
+                            continue
+                        items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        while not stop.is_set():
+                            try:
+                                q.put(collate(items), timeout=1.0)
+                                break
+                            except queue.Full:
+                                continue
+            except BaseException as exc:  # propagate to the consumer
+                q.put(exc)
+                return
             q.put(None)
 
         thread = threading.Thread(target=produce, daemon=True)
@@ -75,6 +84,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

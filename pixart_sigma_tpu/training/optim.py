@@ -62,7 +62,8 @@ def came(
                     jnp.zeros(p.shape[:-1], p.dtype),  # row: mean over last dim
                     jnp.zeros(p.shape[:-2] + p.shape[-1:], p.dtype),  # col
                 )
-            return (jnp.zeros_like(p), jnp.zeros((0,), p.dtype))
+            # (1,) placeholder, not (0,): orbax cannot serialise empty arrays
+            return (jnp.zeros_like(p), jnp.zeros((1,), p.dtype))
 
         stats = jax.tree_util.tree_map(zeros_like_stats, params)
         row = jax.tree_util.tree_map(lambda s: s[0], stats, is_leaf=lambda x: isinstance(x, tuple))

@@ -29,12 +29,17 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     fsdp: bool = False,
     donate: bool = True,
+    schedule_sampler=None,
 ) -> Callable:
     """Build train_step(state, batch, rng) -> (state, metrics).
 
     batch dict (all [B, ...], B sharded over the mesh batch axes):
       latents [B, H, W, C], y [B, L, 4096], y_mask [B, L],
       optional img_hw [B, 2], aspect_ratio [B, 1]
+
+    `schedule_sampler`: optional LossSecondMomentResampler INITIAL state; when
+    given, the importance-sampler state rides inside TrainState-like tuple —
+    the trainer passes/receives it as part of the (state, sampler) pair.
     """
 
     def loss_fn(params, batch, t, noise, drop_rng):
@@ -58,21 +63,40 @@ def make_train_step(
         metrics = {"loss": loss, "mse": jnp.mean(terms["mse"])}
         if "vb" in terms:
             metrics["vb"] = jnp.mean(terms["vb"])
-        return loss, metrics
+        return loss, (metrics, terms["loss"])
 
-    def train_step(state: TrainState, batch, rng):
+    use_resampler = schedule_sampler is not None
+
+    def train_step(state: TrainState, batch, rng, sampler=None):
         rng = jax.random.fold_in(rng, state.step)
         t_rng, noise_rng, drop_rng = jax.random.split(rng, 3)
         B = batch["latents"].shape[0]
-        t = jax.random.randint(t_rng, (B,), 0, diffusion.num_timesteps)
+        if use_resampler:
+            t, loss_weight = sampler.sample(t_rng, B)
+        else:
+            t = jax.random.randint(t_rng, (B,), 0, diffusion.num_timesteps)
+            loss_weight = None
         noise = jax.random.normal(
             noise_rng, batch["latents"].shape, batch["latents"].dtype
         )
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, t, noise, drop_rng
-        )
+
+        def weighted_loss(params):
+            loss, (metrics, per_sample) = loss_fn(
+                params, batch, t, noise, drop_rng
+            )
+            if loss_weight is not None:
+                loss = jnp.mean(per_sample * loss_weight)
+                metrics = dict(metrics, loss=loss)
+            return loss, (metrics, per_sample)
+
+        (_, (metrics, per_sample)), grads = jax.value_and_grad(
+            weighted_loss, has_aux=True
+        )(state.params)
         metrics["grad_norm"] = optax_global_norm(grads)
         new_state = state.apply_gradients(grads)
+        if use_resampler:
+            sampler = sampler.update(t, per_sample)
+            return new_state, metrics, sampler
         return new_state, metrics
 
     if mesh is None:
@@ -101,17 +125,29 @@ def make_train_step(
 
     cache: dict[Any, Callable] = {}
 
-    def jitted(state, batch, rng):
-        key = tuple(sorted(batch.keys()))
+    def jitted(state, batch, rng, sampler=None):
+        # one compiled program per batch-shape signature (aspect-ratio bucket)
+        key = tuple(sorted((k, v.shape) for k, v in batch.items()))
         if key not in cache:
             state_sh = shard_state(state)
             batch_sh = {k: batch_shard for k in batch}
-            cache[key] = jax.jit(
-                train_step,
-                in_shardings=(state_sh, batch_sh, repl),
-                out_shardings=(state_sh, repl),
-                donate_argnums=(0,) if donate else (),
-            )
+            if use_resampler:
+                sampler_sh = jax.tree_util.tree_map(lambda _: repl, sampler)
+                cache[key] = jax.jit(
+                    train_step,
+                    in_shardings=(state_sh, batch_sh, repl, sampler_sh),
+                    out_shardings=(state_sh, repl, sampler_sh),
+                    donate_argnums=(0, 3) if donate else (),
+                )
+            else:
+                cache[key] = jax.jit(
+                    train_step,
+                    in_shardings=(state_sh, batch_sh, repl),
+                    out_shardings=(state_sh, repl),
+                    donate_argnums=(0,) if donate else (),
+                )
+        if use_resampler:
+            return cache[key](state, batch, rng, sampler)
         return cache[key](state, batch, rng)
 
     return jitted

@@ -1,0 +1,261 @@
+"""The training driver: config -> data -> sharded steps -> checkpoints.
+
+Spec: /root/reference/train_scripts/train.py (the main trainer, §3.1 of
+SURVEY.md): per-step iDDPM loss, grad clip, CAME/AdamW, EMA, windowed metric
+logging with ETA, periodic checkpointing behind a barrier, periodic
+validation sampling, resume with dataloader fast-forward.
+
+TPU-native: one jitted GSPMD program per aspect-ratio bucket shape; batches
+device_put with the mesh batch sharding; checkpoints via orbax; the NaN
+watchdog (utils.debug) replaces DebugUnderflowOverflow.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixart_sigma_tpu.config import Config
+from pixart_sigma_tpu.data import (
+    AspectRatioBatchSampler,
+    DataLoader,
+    PixArtDataset,
+    PixArtMSDataset,
+    aspect_ratio_table,
+)
+from pixart_sigma_tpu.diffusion import IDDPM
+from pixart_sigma_tpu.models.builder import build_model_from_config
+from pixart_sigma_tpu.parallel.mesh import MeshConfig, build_mesh, data_sharding
+from pixart_sigma_tpu.training.lr_schedule import build_lr_schedule
+from pixart_sigma_tpu.training.optim import auto_scale_lr, build_optimizer
+from pixart_sigma_tpu.training.train_state import TrainState
+from pixart_sigma_tpu.training.train_step import make_train_step
+from pixart_sigma_tpu.utils import checkpoint as ckpt_io
+from pixart_sigma_tpu.utils.debug import find_nonfinite, format_health_report
+from pixart_sigma_tpu.utils.logging import LogBuffer, MetricsWriter, get_logger
+
+
+def build_dataset(config: Config):
+    data_cfg = dict(config.data)
+    dtype_name = data_cfg.pop("type", "PixArtDataset")
+    data_cfg.pop("transform", None)
+    root = os.path.join(config.get("data_root", ""), data_cfg.pop("root", ""))
+    common = dict(
+        resolution=config.image_size,
+        max_length=config.model_max_length,
+        real_prompt_ratio=config.get("real_prompt_ratio", 1.0),
+        seed=config.get("seed", 0),
+    )
+    common.update(data_cfg)
+    if config.get("multi_scale") and dtype_name in ("PixArtMSDataset", "InternalDataMS", "InternalDataMSSigma"):
+        return PixArtMSDataset(
+            root, aspect_ratio_type=config.aspect_ratio_type or config.image_size,
+            **common,
+        )
+    return PixArtDataset(root, **common)
+
+
+class Trainer:
+    def __init__(self, config: Config, work_dir: Optional[str] = None):
+        self.config = config
+        self.work_dir = work_dir or config.work_dir
+        os.makedirs(self.work_dir, exist_ok=True)
+        config.dump(os.path.join(self.work_dir, "config.py.dump"))
+        self.logger = get_logger(work_dir=self.work_dir)
+        self.metrics = MetricsWriter(self.work_dir)
+
+        mesh_cfg = config.get("mesh", {}) or {}
+        self.mesh = build_mesh(MeshConfig(**mesh_cfg))
+        self.logger.info(f"mesh: {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}")
+
+        self.model = build_model_from_config(config)
+        self.diffusion = IDDPM(
+            timestep_respacing=[config.train_sampling_steps],
+            learn_sigma=True,
+            rescale_learned_sigmas=True,
+            snr=config.get("snr_loss", False),
+        )
+
+        # LR with auto scaling (reference optimizer.py:18-28 + train.py:448)
+        opt_cfg = dict(config.optimizer)
+        world_batch = config.train_batch_size * jax.device_count()
+        lr, self.lr_scale_ratio = auto_scale_lr(
+            opt_cfg.pop("lr"), world_batch, rule=config.auto_lr["rule"]
+        )
+        steps_per_epoch = config.get("steps_per_epoch")  # optional override
+        total_steps = (steps_per_epoch or 10_000) * config.num_epochs
+        schedule = build_lr_schedule(
+            config.lr_schedule, lr,
+            num_training_steps=total_steps,
+            lr_scale_ratio=self.lr_scale_ratio,
+            **config.get("lr_schedule_args", {}),
+        )
+        self.tx = build_optimizer(
+            name=opt_cfg.pop("type"),
+            learning_rate=schedule,
+            grad_clip_norm=config.get("gradient_clip"),
+            **opt_cfg,
+        )
+        self.schedule = schedule
+        self.state: Optional[TrainState] = None
+        self.step_fn = make_train_step(
+            self.model, self.diffusion, mesh=self.mesh,
+            fsdp=config.get("use_fsdp", False),
+        )
+        self.batch_sharding = data_sharding(self.mesh)
+
+    # ---------------------------------------------------------------- state
+    def init_state(self, rng: jax.Array, example_batch: Dict[str, Any]):
+        cfg = self.config
+        B = example_batch["latents"].shape[0]
+        init_kwargs = {}
+        if self.model.cfg.micro_condition:
+            init_kwargs = dict(
+                img_hw=jnp.ones((B, 2)), aspect_ratio=jnp.ones((B, 1))
+            )
+        params = self.model.init(
+            {"params": rng, "caption_drop": jax.random.fold_in(rng, 1)},
+            jnp.asarray(example_batch["latents"]),
+            jnp.zeros((B,)),
+            jnp.asarray(example_batch["y"]),
+            jnp.asarray(example_batch["y_mask"]),
+            train=True,
+            **init_kwargs,
+        )["params"]
+        if cfg.get("load_from"):
+            self.logger.info(f"loading weights from {cfg.load_from}")
+            params = ckpt_io.load_checkpoint(cfg.load_from, self.model.cfg)
+        self.state = TrainState.create(
+            params=params, tx=self.tx, ema=True, ema_rate=cfg.ema_rate
+        )
+        n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+        self.logger.info(f"model params: {n_params / 1e6:.1f} M")
+
+    def maybe_resume(self) -> int:
+        cfg_resume = self.config.get("resume_from") or {}
+        path = cfg_resume.get("checkpoint")
+        if path == "latest":
+            path = ckpt_io.latest_checkpoint(os.path.join(self.work_dir, "checkpoints"))
+        if not path:
+            return 0
+        self.logger.info(f"resuming from {path}")
+        self.state = ckpt_io.restore_train_state(path, self.state)
+        return int(self.state.step)
+
+    # ----------------------------------------------------------------- data
+    def build_loader(self, skip_batches: int = 0):
+        cfg = self.config
+        dataset = build_dataset(cfg)
+        if cfg.get("multi_scale"):
+            table = aspect_ratio_table(cfg.aspect_ratio_type or cfg.image_size)
+            sampler = AspectRatioBatchSampler(
+                dataset, cfg.train_batch_size, table,
+                valid_num=cfg.get("valid_num", 0), seed=cfg.seed,
+            )
+        else:
+            sampler = _SimpleBatchSampler(
+                len(dataset), cfg.train_batch_size, seed=cfg.seed
+            )
+        return DataLoader(
+            dataset, sampler, num_workers=cfg.get("num_workers", 4),
+            skip_batches=skip_batches,
+        )
+
+    # ----------------------------------------------------------------- loop
+    def prepare_batch(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        out = {
+            "latents": batch["latents"] * self.config.scale_factor,
+            "y": batch["y"],
+            "y_mask": batch["y_mask"],
+        }
+        if self.model.cfg.micro_condition:
+            out["img_hw"] = batch["img_hw"]
+            out["aspect_ratio"] = batch["aspect_ratio"]
+        return {
+            k: jax.device_put(np.asarray(v), self.batch_sharding)
+            for k, v in out.items()
+        }
+
+    def train(self, max_steps: Optional[int] = None) -> TrainState:
+        cfg = self.config
+        rng = jax.random.PRNGKey(cfg.seed)
+        start_step = 0
+        loader = self.build_loader()
+        buf = LogBuffer()
+        t_last = time.time()
+
+        if self.state is None:
+            first = next(iter(loader))
+            self.init_state(rng, self.prepare_batch(first))
+            start_step = self.maybe_resume()
+
+        step = start_step
+        for epoch in range(cfg.num_epochs):
+            for batch in loader:
+                batch_dev = self.prepare_batch(batch)
+                self.state, metrics = self.step_fn(self.state, batch_dev, rng)
+                step += 1
+                buf.update({k: v for k, v in metrics.items()})
+                if step % cfg.log_interval == 0:
+                    buf.average()
+                    dt = (time.time() - t_last) / cfg.log_interval
+                    t_last = time.time()
+                    lr_now = float(self.schedule(step))
+                    msg = (
+                        f"epoch {epoch} step {step}: "
+                        + " ".join(f"{k}={v:.4f}" for k, v in buf.output.items())
+                        + f" lr={lr_now:.2e} {dt * 1000:.0f}ms/it"
+                    )
+                    self.logger.info(msg)
+                    self.metrics.write(step, dict(buf.output, lr=lr_now))
+                    if not np.isfinite(buf.output.get("loss", 0.0)):
+                        # NaN watchdog (replaces DebugUnderflowOverflow)
+                        self.logger.error("non-finite loss; param health:")
+                        self.logger.error(format_health_report(self.state.params))
+                        bad = find_nonfinite(self.state.params)
+                        raise FloatingPointError(f"non-finite params: {bad[:8]}")
+                    buf.clear()
+                if cfg.save_model_steps and step % cfg.save_model_steps == 0:
+                    self.save(step)
+                if max_steps and step - start_step >= max_steps:
+                    return self.state
+            if (epoch + 1) % cfg.get("save_model_epochs", 1) == 0:
+                self.save(step)
+        return self.state
+
+    def save(self, step: int) -> None:
+        if jax.process_index() != 0:
+            return
+        path = ckpt_io.save_train_state(
+            os.path.join(self.work_dir, "checkpoints"), self.state, step
+        )
+        self.logger.info(f"saved checkpoint: {path}")
+
+
+class _SimpleBatchSampler:
+    """Shuffled full batches for single-scale datasets."""
+
+    def __init__(self, n: int, batch_size: int, seed: int = 0):
+        self.n = n
+        self.batch_size = batch_size
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self):
+        import random
+
+        order = list(range(self.n))
+        random.Random(self.seed + self.epoch).shuffle(order)
+        for i in range(0, self.n - self.batch_size + 1, self.batch_size):
+            yield order[i : i + self.batch_size]
+
+    def __len__(self) -> int:
+        return max(1, self.n // self.batch_size)

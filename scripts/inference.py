@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Batch txt2img inference CLI.
+
+Spec: /root/reference/scripts/inference.py:24-224 — loads a PixArt checkpoint
+(.pth or diffusers safetensors), T5 + VAE, reads a prompt file (one prompt
+per line, optional `--ar h:w` / `--hw h:w` flags inside the prompt), and
+writes JPGs with the chosen sampler (dpm-solver 20 / iddpm 100 / sa-solver 25).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="PixArt TPU inference")
+    p.add_argument("--config", required=False, default=None,
+                   help="model config (else inferred from --image-size)")
+    p.add_argument("--model-path", required=True, help=".pth / safetensors / orbax")
+    p.add_argument("--t5-path", default=None, help="HF T5 encoder dir")
+    p.add_argument("--vae-path", default=None, help="diffusers VAE dir")
+    p.add_argument("--image-size", type=int, default=1024,
+                   choices=[256, 512, 1024, 2048])
+    p.add_argument("--version", default="sigma", choices=["alpha", "sigma"])
+    p.add_argument("--txt-file", required=True, help="one prompt per line")
+    p.add_argument("--save-root", default="output/samples")
+    p.add_argument("--sampling-algo", default="dpm-solver",
+                   choices=["dpm-solver", "iddpm", "sa-solver", "lcm"])
+    p.add_argument("--steps", type=int, default=None,
+                   help="default: dpm 20 / iddpm 100 / sa 25 / lcm 4")
+    p.add_argument("--cfg-scale", type=float, default=4.5)
+    p.add_argument("--bs", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+PE_INTERP = {256: 0.5, 512: 1.0, 1024: 2.0, 2048: 4.0}
+DEFAULT_STEPS = {"dpm-solver": 20, "iddpm": 100, "sa-solver": 25, "lcm": 4}
+
+
+def main():
+    args = parse_args()
+    import numpy as np
+    from PIL import Image
+
+    from pixart_sigma_tpu.config import read_config
+    from pixart_sigma_tpu.data.aspect import get_chunks
+    from pixart_sigma_tpu.models.builder import build_model_from_config
+    from pixart_sigma_tpu.models.pixart import PixArtMS_XL_2
+    from pixart_sigma_tpu.pipelines import PixArtPipeline
+    from pixart_sigma_tpu.utils import checkpoint as ckpt_io
+    from pixart_sigma_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if args.config:
+        config = read_config(args.config)
+        model = build_model_from_config(config)
+    else:
+        max_len = 300 if args.version == "sigma" else 120
+        model = PixArtMS_XL_2(
+            input_size=args.image_size // 8,
+            pe_interpolation=PE_INTERP[args.image_size],
+            model_max_length=max_len,
+            micro_condition=(args.version == "alpha" and args.image_size == 1024),
+        )
+
+    params = {"params": ckpt_io.load_checkpoint(args.model_path, model.cfg)}
+
+    t5 = None
+    if args.t5_path:
+        from pixart_sigma_tpu.models.t5 import T5Embedder
+
+        t5 = T5Embedder.from_pretrained(
+            args.t5_path, model_max_length=model.cfg.model_max_length
+        )
+    vae = vae_params = None
+    scale = 0.13025 if args.version == "sigma" else 0.18215
+    if args.vae_path:
+        from pixart_sigma_tpu.models.vae import (
+            AutoencoderKL,
+            VAEConfig,
+            diffusers_vae_to_flax,
+        )
+        from pixart_sigma_tpu.utils.checkpoint import load_safetensors_state_dict
+
+        vae_cfg = VAEConfig.sdxl(scaling_factor=scale)
+        vae = AutoencoderKL(vae_cfg)
+        vae_params = {
+            "params": diffusers_vae_to_flax(
+                load_safetensors_state_dict(args.vae_path), vae_cfg
+            )
+        }
+
+    pipe = PixArtPipeline(
+        model, params, t5=t5, vae=vae, vae_params=vae_params,
+        scale_factor=scale, base_resolution=args.image_size,
+    )
+
+    with open(args.txt_file) as f:
+        prompts = [ln.strip() for ln in f if ln.strip()]
+    os.makedirs(args.save_root, exist_ok=True)
+    steps = args.steps or DEFAULT_STEPS[args.sampling_algo]
+
+    idx = 0
+    for chunk in get_chunks(prompts, args.bs):
+        images = pipe(
+            chunk,
+            num_inference_steps=steps,
+            guidance_scale=args.cfg_scale,
+            sampler=args.sampling_algo,
+            seed=args.seed + idx,
+            return_latents=(vae is None),
+        )
+        for j, img in enumerate(images):
+            name = f"{idx + j:05d}_{args.sampling_algo}_{steps}.jpg"
+            if vae is None:
+                np.save(os.path.join(args.save_root, name + ".npy"), img)
+            else:
+                Image.fromarray(img).save(os.path.join(args.save_root, name))
+        idx += len(chunk)
+    print(f"wrote {idx} samples to {args.save_root}")
+
+
+if __name__ == "__main__":
+    main()

@@ -51,7 +51,7 @@ def test_get_closest_ratio():
     assert key == 0.5
 
 
-def _make_fake_sigma_root(tmp_path, n=24):
+def _make_fake_sigma_root(tmp_path, n=24, uniform=False):
     """data_info.json + npz/npy features in the Sigma layout."""
     root = tmp_path / "InternData"
     (root / "caption_features_new").mkdir(parents=True)
@@ -61,7 +61,10 @@ def _make_fake_sigma_root(tmp_path, n=24):
     imgs.mkdir()
     rng = np.random.RandomState(0)
     meta = []
-    shapes = [(256, 256), (512, 256), (256, 512), (300, 300)]
+    shapes = (
+        [(256, 256)] if uniform
+        else [(256, 256), (512, 256), (256, 512), (300, 300)]
+    )
     for i in range(n):
         h, w = shapes[i % len(shapes)]
         name = f"img_{i}.png"
