@@ -150,3 +150,32 @@ def test_loader_collates_and_prefetches(tmp_path):
     # resume fast-forward skips batches deterministically
     loader2 = DataLoader(ds, sampler, num_workers=2, skip_batches=n - 1)
     assert len(list(iter(loader2))) == 1
+
+
+def test_dmd_dataset(tmp_path):
+    import json
+
+    from pixart_sigma_tpu.data.dmd_dataset import DMDDataset
+
+    root = tmp_path / "dmd"
+    for d in ("noise", "base_latents", "caption_features"):
+        (root / d).mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    meta = []
+    for i in range(4):
+        stem = f"img_{i}"
+        np.save(root / "noise" / f"{stem}.npy", rng.randn(4, 8, 8).astype(np.float32))
+        np.save(root / "base_latents" / f"{stem}.npy",
+                rng.randn(4, 8, 8).astype(np.float32))
+        np.savez(root / "caption_features" / f"{stem}.npz",
+                 caption_feature=rng.randn(1, 10, 16).astype(np.float16),
+                 attention_mask=np.ones((1, 10), np.int16))
+        meta.append({"path": f"{stem}.png", "prompt": f"p{i}"})
+    with open(root / "data_info.json", "w") as f:
+        json.dump(meta, f)
+    ds = DMDDataset(str(root), max_length=16)
+    item = ds[0]
+    assert item["init_noise"].shape == (8, 8, 4)
+    assert item["base_latent"].shape == (8, 8, 4)
+    assert item["y"].shape == (16, 16)
+    assert int(item["y_mask"].sum()) == 10

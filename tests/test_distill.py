@@ -109,3 +109,28 @@ def test_lpips_shapes_and_zero_for_identical():
     y = x + 0.5
     d_diff = lpips.apply(params, x, y)
     assert float(d_diff[0]) > 0
+
+
+def test_dreambooth_step():
+    import optax
+
+    from pixart_sigma_tpu.training.dreambooth import make_dreambooth_step
+    from pixart_sigma_tpu.training.lora import init_lora_params
+
+    model, params, latents, y, uncond, mask = _setup()
+    diffusion = IDDPM(timestep_respacing=[1000], learn_sigma=True,
+                      rescale_learned_sigmas=True)
+    lora = init_lora_params(params, rank=2, rng=jax.random.PRNGKey(1))
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(lora)
+    step = make_dreambooth_step(
+        model, diffusion, params, tx, with_prior_preservation=True
+    )
+    batch = {"latents": latents, "y": y, "y_mask": mask}  # B=2: 1 inst + 1 class
+    lora2, opt_state, metrics = step(lora, opt_state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["prior"]))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), lora, lora2
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
