@@ -77,15 +77,16 @@ def main() -> None:
         solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
         return solver.sample(x0, steps=STEPS, order=2, method="multistep")
 
-    # warmup / compile
-    out = sample(params, x)
-    out.block_until_ready()
+    # warmup / compile. NOTE: block_until_ready does not reliably wait on the
+    # tunneled TPU backend here — jax.device_get (host transfer) is the only
+    # sound completion barrier, so we time with device_get of a reduction.
+    sampled = jax.jit(lambda p, x: jnp.sum(sample(p, x).astype(jnp.float32)))
+    jax.device_get(sampled(params, x))
 
     iters = 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = sample(params, x)
-    out.block_until_ready()
+    for i in range(iters):
+        jax.device_get(sampled(params, x))
     dt = (time.perf_counter() - t0) / iters
 
     img_per_sec = BATCH / dt

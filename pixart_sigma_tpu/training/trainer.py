@@ -101,6 +101,11 @@ class Trainer:
             grad_clip_norm=config.get("gradient_clip"),
             **opt_cfg,
         )
+        accum = config.get("gradient_accumulation_steps", 1)
+        if accum > 1:
+            import optax
+
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=accum)
         self.schedule = schedule
         self.state: Optional[TrainState] = None
         self.step_fn = make_train_step(
@@ -222,11 +227,63 @@ class Trainer:
                     buf.clear()
                 if cfg.save_model_steps and step % cfg.save_model_steps == 0:
                     self.save(step)
+                if (
+                    cfg.get("eval_sampling_steps")
+                    and cfg.get("visualize")
+                    and step % cfg.eval_sampling_steps == 0
+                ):
+                    self.log_validation(step, batch_dev)
                 if max_steps and step - start_step >= max_steps:
                     return self.state
             if (epoch + 1) % cfg.get("save_model_epochs", 1) == 0:
                 self.save(step)
         return self.state
+
+    def log_validation(self, step: int, batch_dev: Dict[str, Any]) -> None:
+        """Periodic sampling with the EMA weights on the current captions.
+
+        Spec: train.py:44-122 (log_validation, DPM-Solver 14 steps CFG 4.5,
+        deterministic noise when configured). Without a live T5/VAE in the
+        training loop we condition on the batch's precomputed embeddings and
+        dump latents to the workdir; decode offline with tools/ or a VAE.
+        """
+        from pixart_sigma_tpu.diffusion.dpm_solver import (
+            DPMSolver,
+            NoiseScheduleVP,
+            make_cfg_model_fn,
+        )
+        from pixart_sigma_tpu.diffusion.schedules import named_beta_schedule
+
+        cfg = self.config
+        params = {"params": self.state.ema_params or self.state.params}
+        y = batch_dev["y"][:2]
+        mask = jnp.concatenate([batch_dev["y_mask"][:2]] * 2, axis=0)
+        null_y = jnp.broadcast_to(
+            self.state.params["y_embedder"]["y_embedding"][None], y.shape
+        ).astype(y.dtype)
+        lat_shape = batch_dev["latents"][:2].shape
+        ns = NoiseScheduleVP(
+            "discrete", betas=named_beta_schedule("linear", cfg.train_sampling_steps)
+        )
+
+        def apply_fn(x, t_vec, cond, **kw):
+            out = self.model.apply(params, x, t_vec, cond, mask)
+            return out[..., :4]
+
+        model_fn = make_cfg_model_fn(
+            apply_fn, ns, condition=y, uncondition=null_y,
+            cfg_scale=cfg.get("cfg_scale", 4.5),
+        )
+        solver = DPMSolver(model_fn, ns)
+        seed = cfg.seed if cfg.get("deterministic_validation") else step
+        noise = jax.random.normal(jax.random.PRNGKey(seed), lat_shape)
+        latents = jax.jit(
+            lambda x: solver.sample(x, steps=14, order=2)
+        )(noise)
+        if jax.process_index() == 0:
+            out = os.path.join(self.work_dir, f"validation_step_{step}.npy")
+            np.save(out, np.asarray(latents) / cfg.scale_factor)
+            self.logger.info(f"validation latents -> {out}")
 
     def save(self, step: int) -> None:
         if jax.process_index() != 0:

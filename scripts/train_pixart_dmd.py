@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""DMD one-step distillation training CLI.
+
+Spec: /root/reference/train_scripts/train_pixart_dmd.py +
+scripts/run_pixart_dmd.py. Three transformers (student/real/fake), dual
+optimizers, alternating generator / fake-score updates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-root", required=True, help="DMD triplet dataset root")
+    p.add_argument("--teacher", required=True, help="pretrained .pth/safetensors")
+    p.add_argument("--work-dir", default="output/dmd")
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument("--max-length", type=int, default=120)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--start-ts", type=int, default=400)
+    p.add_argument("--cfg", type=float, default=4.5)
+    p.add_argument("--max-steps", type=int, default=10000)
+    p.add_argument("--save-steps", type=int, default=1000)
+    p.add_argument("--log-interval", type=int, default=10)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from pixart_sigma_tpu.data import DataLoader
+    from pixart_sigma_tpu.data.dmd_dataset import DMDDataset
+    from pixart_sigma_tpu.diffusion import IDDPM
+    from pixart_sigma_tpu.models.pixart import PixArtMS_XL_2
+    from pixart_sigma_tpu.training.dmd import make_dmd_train_steps
+    from pixart_sigma_tpu.training.trainer import _SimpleBatchSampler
+    from pixart_sigma_tpu.utils import checkpoint as ckpt_io
+    from pixart_sigma_tpu.utils.compile_cache import enable_compilation_cache
+    from pixart_sigma_tpu.utils.logging import get_logger
+
+    enable_compilation_cache()
+    os.makedirs(args.work_dir, exist_ok=True)
+    logger = get_logger(work_dir=args.work_dir)
+
+    pe = {256: 0.5, 512: 1.0, 1024: 2.0}[args.image_size]
+    model = PixArtMS_XL_2(
+        input_size=args.image_size // 8, pe_interpolation=pe,
+        model_max_length=args.max_length,
+    )
+    teacher = ckpt_io.load_checkpoint(args.teacher, model.cfg)
+    gen_params = jax.tree_util.tree_map(jnp.copy, teacher)
+    fake_params = jax.tree_util.tree_map(jnp.copy, teacher)
+
+    diffusion = IDDPM(timestep_respacing=[1000], learn_sigma=True)
+    gen_tx = optax.adamw(args.lr)
+    fake_tx = optax.adamw(args.lr)
+    gen_step, fake_step, _ = make_dmd_train_steps(
+        model, diffusion, start_ts=args.start_ts, cfg_scale=args.cfg,
+        generator_tx=gen_tx, fake_tx=fake_tx,
+    )
+    gen_opt = gen_tx.init(gen_params)
+    fake_opt = fake_tx.init(fake_params)
+
+    ds = DMDDataset(args.data_root, max_length=args.max_length)
+    sampler = _SimpleBatchSampler(len(ds), args.batch_size)
+    loader = DataLoader(ds, sampler)
+    L = args.max_length
+    step = 0
+    rng = jax.random.PRNGKey(0)
+    while step < args.max_steps:
+        for batch in loader:
+            B = batch["init_noise"].shape[0]
+            uncond = jnp.broadcast_to(
+                gen_params["y_embedder"]["y_embedding"][None],
+                (B, L, model.cfg.caption_channels),
+            ).astype(jnp.float32)
+            dev = {
+                "init_noise": jnp.asarray(batch["init_noise"]),
+                "base_latent": jnp.asarray(batch["base_latent"]),
+                "y": jnp.asarray(batch["y"]),
+                "y_mask": jnp.asarray(batch["y_mask"]),
+                "uncond_y": uncond,
+            }
+            rng, r1, r2 = jax.random.split(rng, 3)
+            gen_params, gen_opt, metrics, x0 = gen_step(
+                gen_params, gen_opt, teacher, fake_params, dev, r1
+            )
+            fake_params, fake_opt, fmetrics = fake_step(
+                fake_params, fake_opt, x0, dev, r2
+            )
+            step += 1
+            if step % args.log_interval == 0:
+                logger.info(
+                    f"step {step}: dm={float(metrics['dm_loss']):.4f} "
+                    f"sg={float(fmetrics['sg_loss']):.4f}"
+                )
+            if step % args.save_steps == 0 and jax.process_index() == 0:
+                import torch
+
+                from pixart_sigma_tpu.utils.checkpoint import flax_to_torch_state_dict
+
+                sd = flax_to_torch_state_dict(gen_params, model.cfg)
+                torch.save(
+                    {"state_dict": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}},
+                    os.path.join(args.work_dir, f"dmd_step_{step}.pth"),
+                )
+            if step >= args.max_steps:
+                break
+
+
+if __name__ == "__main__":
+    main()
