@@ -281,6 +281,174 @@ class DPMSolver:
             return self.multistep_third_update(x, model_prev, t_prev, t, solver_type)
         raise ValueError(f"order must be 1/2/3, got {order}")
 
+    # ----------------------------------------------------- singlestep updates
+    def singlestep_second_update(
+        self, x, s: float, t: float, r1: float = 0.5,
+        solver_type: str = "dpmsolver",
+    ):
+        """Singlestep order-2 with one intermediate point. Spec :598-680."""
+        ns = self.ns
+        lam_s = float(ns.marginal_lambda(s))
+        lam_t = float(ns.marginal_lambda(t))
+        h = lam_t - lam_s
+        s1 = float(ns.inverse_lambda(lam_s + r1 * h))
+        log_a_s = float(ns.marginal_log_mean_coeff(s))
+        log_a_s1 = float(ns.marginal_log_mean_coeff(s1))
+        log_a_t = float(ns.marginal_log_mean_coeff(t))
+        sig_s, sig_s1, sig_t = (
+            float(ns.marginal_std(v)) for v in (s, s1, t)
+        )
+        model_s = self.model(x, s)
+        if self.algorithm_type == "dpmsolver++":
+            phi_11, phi_1 = math.expm1(-r1 * h), math.expm1(-h)
+            x_s1 = (sig_s1 / sig_s) * x - math.exp(log_a_s1) * phi_11 * model_s
+            model_s1 = self.model(x_s1, s1)
+            alpha_t = math.exp(log_a_t)
+            if solver_type == "dpmsolver":
+                return (
+                    (sig_t / sig_s) * x
+                    - alpha_t * phi_1 * model_s
+                    - (0.5 / r1) * alpha_t * phi_1 * (model_s1 - model_s)
+                )
+            return (
+                (sig_t / sig_s) * x
+                - alpha_t * phi_1 * model_s
+                + (1.0 / r1) * alpha_t * (phi_1 / h + 1.0) * (model_s1 - model_s)
+            )
+        phi_11, phi_1 = math.expm1(r1 * h), math.expm1(h)
+        x_s1 = math.exp(log_a_s1 - log_a_s) * x - sig_s1 * phi_11 * model_s
+        model_s1 = self.model(x_s1, s1)
+        if solver_type == "dpmsolver":
+            return (
+                math.exp(log_a_t - log_a_s) * x
+                - sig_t * phi_1 * model_s
+                - (0.5 / r1) * sig_t * phi_1 * (model_s1 - model_s)
+            )
+        return (
+            math.exp(log_a_t - log_a_s) * x
+            - sig_t * phi_1 * model_s
+            - (1.0 / r1) * sig_t * (phi_1 / h - 1.0) * (model_s1 - model_s)
+        )
+
+    def singlestep_third_update(
+        self, x, s: float, t: float, r1: float = 1.0 / 3.0, r2: float = 2.0 / 3.0,
+        solver_type: str = "dpmsolver",
+    ):
+        """Singlestep order-3 with two intermediate points. Spec :692-805."""
+        ns = self.ns
+        lam_s = float(ns.marginal_lambda(s))
+        lam_t = float(ns.marginal_lambda(t))
+        h = lam_t - lam_s
+        s1 = float(ns.inverse_lambda(lam_s + r1 * h))
+        s2 = float(ns.inverse_lambda(lam_s + r2 * h))
+        log_a = {v: float(ns.marginal_log_mean_coeff(v)) for v in (s, s1, s2, t)}
+        sig = {v: float(ns.marginal_std(v)) for v in (s, s1, s2, t)}
+        model_s = self.model(x, s)
+        if self.algorithm_type == "dpmsolver++":
+            phi_11 = math.expm1(-r1 * h)
+            phi_12 = math.expm1(-r2 * h)
+            phi_1 = math.expm1(-h)
+            phi_22 = math.expm1(-r2 * h) / (r2 * h) + 1.0
+            phi_2 = phi_1 / h + 1.0
+            phi_3 = phi_2 / h - 0.5
+            x_s1 = (sig[s1] / sig[s]) * x - math.exp(log_a[s1]) * phi_11 * model_s
+            model_s1 = self.model(x_s1, s1)
+            x_s2 = (
+                (sig[s2] / sig[s]) * x
+                - math.exp(log_a[s2]) * phi_12 * model_s
+                + (r2 / r1) * math.exp(log_a[s2]) * phi_22 * (model_s1 - model_s)
+            )
+            model_s2 = self.model(x_s2, s2)
+            alpha_t = math.exp(log_a[t])
+            if solver_type == "dpmsolver":
+                return (
+                    (sig[t] / sig[s]) * x
+                    - alpha_t * phi_1 * model_s
+                    + (1.0 / r2) * alpha_t * phi_2 * (model_s2 - model_s)
+                )
+            d1_0 = (1.0 / r1) * (model_s1 - model_s)
+            d1_1 = (1.0 / r2) * (model_s2 - model_s)
+            d1 = (r2 * d1_0 - r1 * d1_1) / (r2 - r1)
+            d2 = 2.0 * (d1_1 - d1_0) / (r2 - r1)
+            return (
+                (sig[t] / sig[s]) * x
+                - alpha_t * phi_1 * model_s
+                + alpha_t * phi_2 * d1
+                - alpha_t * phi_3 * d2
+            )
+        phi_11 = math.expm1(r1 * h)
+        phi_12 = math.expm1(r2 * h)
+        phi_1 = math.expm1(h)
+        phi_22 = math.expm1(r2 * h) / (r2 * h) - 1.0
+        phi_2 = phi_1 / h - 1.0
+        phi_3 = phi_2 / h - 0.5
+        x_s1 = math.exp(log_a[s1] - log_a[s]) * x - sig[s1] * phi_11 * model_s
+        model_s1 = self.model(x_s1, s1)
+        x_s2 = (
+            math.exp(log_a[s2] - log_a[s]) * x
+            - sig[s2] * phi_12 * model_s
+            - (r2 / r1) * sig[s2] * phi_22 * (model_s1 - model_s)
+        )
+        model_s2 = self.model(x_s2, s2)
+        if solver_type == "dpmsolver":
+            return (
+                math.exp(log_a[t] - log_a[s]) * x
+                - sig[t] * phi_1 * model_s
+                - (1.0 / r2) * sig[t] * phi_2 * (model_s2 - model_s)
+            )
+        d1_0 = (1.0 / r1) * (model_s1 - model_s)
+        d1_1 = (1.0 / r2) * (model_s2 - model_s)
+        d1 = (r2 * d1_0 - r1 * d1_1) / (r2 - r1)
+        d2 = 2.0 * (d1_1 - d1_0) / (r2 - r1)
+        return (
+            math.exp(log_a[t] - log_a[s]) * x
+            - sig[t] * phi_1 * model_s
+            - sig[t] * phi_2 * d1
+            - sig[t] * phi_3 * d2
+        )
+
+    def singlestep_update(self, x, s, t, order, solver_type, r1=None, r2=None):
+        if order == 1:
+            return self.first_update(x, s, t)
+        if order == 2:
+            return self.singlestep_second_update(
+                x, s, t, r1 if r1 is not None else 0.5, solver_type
+            )
+        if order == 3:
+            return self.singlestep_third_update(
+                x, s, t,
+                r1 if r1 is not None else 1.0 / 3.0,
+                r2 if r2 is not None else 2.0 / 3.0,
+                solver_type,
+            )
+        raise ValueError(order)
+
+    def singlestep_orders_and_timesteps(
+        self, steps: int, order: int, skip_type: str, t_T: float, t_0: float
+    ):
+        """DPM-Solver-fast order allocation. Spec :485-546."""
+        if order == 3:
+            K = steps // 3 + 1
+            if steps % 3 == 0:
+                orders = [3] * (K - 2) + [2, 1]
+            elif steps % 3 == 1:
+                orders = [3] * (K - 1) + [1]
+            else:
+                orders = [3] * (K - 1) + [2]
+        elif order == 2:
+            K = steps // 2 if steps % 2 == 0 else steps // 2 + 1
+            orders = [2] * K if steps % 2 == 0 else [2] * (K - 1) + [1]
+        elif order == 1:
+            orders = [1] * steps
+        else:
+            raise ValueError(order)
+        if skip_type == "logSNR":
+            outer = get_time_steps(self.ns, skip_type, t_T, t_0, len(orders))
+        else:
+            full = get_time_steps(self.ns, skip_type, t_T, t_0, steps)
+            outer = full[np.cumsum([0] + orders)]
+        return outer, orders
+
     # -------------------------------------------------------------- sample
     def sample(
         self,
@@ -309,10 +477,29 @@ class DPMSolver:
         t_T = self.ns.T if t_start is None else t_start
         assert t_0 > 0 and t_T > 0
 
+        if method in ("singlestep", "singlestep_fixed"):
+            if method == "singlestep":
+                outer, orders = self.singlestep_orders_and_timesteps(
+                    steps, order, skip_type, t_T, t_0
+                )
+            else:
+                K = steps // order
+                orders = [order] * K
+                outer = get_time_steps(self.ns, skip_type, t_T, t_0, K)
+            for i, step_order in enumerate(orders):
+                s, t = float(outer[i]), float(outer[i + 1])
+                inner = get_time_steps(self.ns, skip_type, s, t, step_order)
+                lam = self.ns.marginal_lambda(inner)
+                h = float(lam[-1] - lam[0])
+                r1 = None if step_order <= 1 else float((lam[1] - lam[0]) / h)
+                r2 = None if step_order <= 2 else float((lam[2] - lam[0]) / h)
+                x = self.singlestep_update(x, s, t, step_order, solver_type, r1, r2)
+            if denoise_to_zero:
+                x = self.denoise_to_zero(x, float(outer[-1]))
+            return x
         if method != "multistep":
             raise NotImplementedError(
-                f"method={method}; multistep is the production path "
-                "(singlestep/adaptive tracked for a later round)"
+                f"method={method}; adaptive step-size is not implemented"
             )
         assert steps >= order
         if (

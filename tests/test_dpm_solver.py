@@ -137,3 +137,33 @@ def test_scan_path_matches_unrolled(order, steps):
     np.testing.assert_allclose(
         np.asarray(got_scan), np.asarray(got_unrolled), rtol=2e-5, atol=2e-6
     )
+
+
+@pytest.mark.parametrize("order,steps", [(2, 10), (3, 12), (1, 8)])
+def test_singlestep_matches_reference(order, steps):
+    B, D = 2, 4
+    x0 = np.random.RandomState(13).randn(B, D).astype(np.float64)
+    ref = ref_schedule(dtype=torch.float64)
+
+    def ref_model(x, t_cont):
+        t_input = (t_cont - 1.0 / ref.total_N) * 1000.0
+        return torch.tanh(x @ torch.from_numpy(FAKE_W)) * (1.0 + t_input[0] / 2000.0)
+
+    solver_ref = ref_dpm.DPM_Solver(ref_model, ref, algorithm_type="dpmsolver++")
+    want = solver_ref.sample(
+        torch.from_numpy(x0), steps=steps, order=order,
+        skip_type="time_uniform", method="singlestep",
+    ).numpy()
+
+    ns = NoiseScheduleVP("discrete", betas=BETAS)
+
+    def model_fn(x, t_cont):
+        t_input = (jnp.asarray(t_cont) - 1.0 / ns.total_N) * 1000.0
+        return jnp.tanh(x @ FAKE_W) * (1.0 + t_input / 2000.0)
+
+    solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
+    with jax.enable_x64(True):
+        got = solver.sample(
+            jnp.asarray(x0), steps=steps, order=order, method="singlestep"
+        )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-7)
