@@ -59,12 +59,12 @@ def _fwd_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
-    k = k_ref[0].astype(jnp.float32)  # [BK, D]
-    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0]  # [BQ, D] storage dtype (bf16): full-rate MXU, f32 accum
+    k = k_ref[0]
+    v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [BQ, BK]
+    ) * scale  # [BQ, BK] f32
     m_prev = m_scr[:, 0:1]  # [BQ, 1]
     l_prev = l_scr[:, 0:1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -72,7 +72,8 @@ def _fwd_kernel(
     alpha = jnp.exp(m_prev - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
@@ -107,6 +108,10 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, with_lse=True):
         pltpu.VMEM((block_q, _LANES), jnp.float32),  # running denom
         pltpu.VMEM((block_q, D), jnp.float32),  # output accumulator
     ]
+    # bh / q-block dims are parallel; the kv sweep is the sequential reduction
+    comp = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary")
+    )
     if not with_lse:
         kernel = lambda q_ref, k_ref, v_ref, o_ref, m_s, l_s, a_s: _fwd_kernel(
             q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, a_s, scale=scale
@@ -114,7 +119,7 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, with_lse=True):
         out = pl.pallas_call(
             kernel, grid=grid, in_specs=in_specs, out_specs=o_spec,
             out_shape=jax.ShapeDtypeStruct((BH, N, D), q.dtype),
-            scratch_shapes=scratch,
+            scratch_shapes=scratch, compiler_params=comp,
         )(q, k, v)
         return out, None
     out, lse = pl.pallas_call(
@@ -130,7 +135,7 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, with_lse=True):
             jax.ShapeDtypeStruct((BH, N, D), q.dtype),
             jax.ShapeDtypeStruct((BH, N, _LANES), jnp.float32),
         ],
-        scratch_shapes=scratch,
+        scratch_shapes=scratch, compiler_params=comp,
     )(q, k, v)
     return out, lse
 
@@ -152,10 +157,10 @@ def _bwd_dkv_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    k = k_ref[0].astype(jnp.float32)  # [BK, D]
-    v = v_ref[0].astype(jnp.float32)
-    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
-    do = do_ref[0].astype(jnp.float32)
+    k = k_ref[0]  # [BK, D]
+    v = v_ref[0]
+    q = q_ref[0]  # [BQ, D]
+    do = do_ref[0]
     lse = lse_ref[0][:, 0:1]  # [BQ, 1]
     delta = delta_ref[0][:, 0:1]
     s = jax.lax.dot_general(
@@ -163,14 +168,16 @@ def _bwd_dkv_kernel(
     ) * scale  # [BQ, BK]
     p = jnp.exp(s - lse)
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     ds = p * (dp - delta) * scale
     dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(i == nq - 1)
@@ -190,12 +197,12 @@ def _bwd_dq_kernel(
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0][:, 0:1]
     delta = delta_ref[0][:, 0:1]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]
+    v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -205,7 +212,8 @@ def _bwd_dq_kernel(
     )
     ds = p * (dp - delta) * scale
     dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(j == nk - 1)
@@ -241,6 +249,9 @@ def _flash_bwd(res, g, scale, block_q, block_k):
             pltpu.VMEM((block_k, D), jnp.float32),
             pltpu.VMEM((block_k, D), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
     )(q, k, v, do, lse, delta)
 
     # dq: grid (BH, nq, nkv) — k/v blocks stream along the inner dim
@@ -257,6 +268,9 @@ def _flash_bwd(res, g, scale, block_q, block_k):
         out_specs=qd_spec2,
         out_shape=jax.ShapeDtypeStruct((BH, N, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
     )(q, k, v, do, lse, delta)
     return dq, dk, dv
 
