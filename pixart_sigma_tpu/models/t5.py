@@ -234,15 +234,28 @@ class T5Embedder:
 
     @classmethod
     def from_pretrained(
-        cls, path: str, model_max_length: int = 300, dtype=jnp.bfloat16
+        cls,
+        path: str,
+        model_max_length: int = 300,
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.bfloat16,
     ) -> "T5Embedder":
-        """Load tokenizer + torch weights from a local HF checkpoint dir."""
+        """Load tokenizer + torch weights from a local HF checkpoint dir.
+
+        Params are stored in bf16 by default: T5-XXL is 4.7B params and must
+        fit next to the DiT in 16 GB HBM (fp32 params alone would be 19 GB).
+        """
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(path)
         sd = _load_hf_state_dict(path)
         cfg = T5Config.xxl(dtype=dtype)
-        return cls(hf_t5_to_flax(sd, cfg), cfg, tokenizer, model_max_length)
+        params = hf_t5_to_flax(sd, cfg)
+        if param_dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(param_dtype), params
+            )
+        return cls(params, cfg, tokenizer, model_max_length)
 
     def get_text_embeddings(self, texts):
         from pixart_sigma_tpu.utils.prompt import clean_caption
