@@ -46,8 +46,17 @@ def _pad_heads(x: jnp.ndarray, d_pad: int) -> jnp.ndarray:
 # forward
 # ---------------------------------------------------------------------------
 
+def _kv_tail_mask(s, j, block_k, kv_len):
+    """-inf on key columns past the true kv length (padded tail)."""
+    if kv_len % block_k == 0:
+        return s
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(col < kv_len, s, _NEG_INF)
+
+
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale,
+    kv_len, block_k,
 ):
     """Grid (BH, nq, nk); kv innermost. lse_ref None => inference variant."""
     j = pl.program_id(2)
@@ -65,6 +74,7 @@ def _fwd_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [BQ, BK] f32
+    s = _kv_tail_mask(s, j, block_k, kv_len)
     m_prev = m_scr[:, 0:1]  # [BQ, 1]
     l_prev = l_scr[:, 0:1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -88,10 +98,11 @@ def _fwd_kernel(
             )
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k, with_lse=True):
+def _flash_fwd(q, k, v, scale, block_q, block_k, kv_len=None, with_lse=True):
     """q [BH, N, D], k/v [BH, M, D] -> (out, lse [BH, N, _LANES] or None)."""
     BH, N, D = q.shape
     M = k.shape[1]
+    kv_len = M if kv_len is None else kv_len
     grid = (BH, N // block_q, M // block_k)
     in_specs = [
         pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
@@ -114,7 +125,8 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, with_lse=True):
     )
     if not with_lse:
         kernel = lambda q_ref, k_ref, v_ref, o_ref, m_s, l_s, a_s: _fwd_kernel(
-            q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, a_s, scale=scale
+            q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, a_s, scale=scale,
+            kv_len=kv_len, block_k=block_k,
         )
         out = pl.pallas_call(
             kernel, grid=grid, in_specs=in_specs, out_specs=o_spec,
@@ -123,7 +135,9 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, with_lse=True):
         )(q, k, v)
         return out, None
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
+        functools.partial(
+            _fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -146,11 +160,12 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, with_lse=True):
 
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    dk_scr, dv_scr, *, scale,
+    dk_scr, dv_scr, *, scale, kv_len, block_k,
 ):
     """Grid (BH, nkv, nq); one kv-block per (b, j), sweep q innermost."""
     i = pl.program_id(2)
     nq = pl.num_programs(2)
+    j = pl.program_id(1)
 
     @pl.when(i == 0)
     def _init():
@@ -166,6 +181,7 @@ def _bwd_dkv_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [BQ, BK]
+    s = _kv_tail_mask(s, j, block_k, kv_len)
     p = jnp.exp(s - lse)
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -187,7 +203,8 @@ def _bwd_dkv_kernel(
 
 
 def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *, scale
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *, scale,
+    kv_len, block_k,
 ):
     """Grid (BH, nq, nkv); one q-block per (b, i), sweep kv innermost."""
     j = pl.program_id(2)
@@ -206,6 +223,7 @@ def _bwd_dq_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
+    s = _kv_tail_mask(s, j, block_k, kv_len)
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -221,7 +239,7 @@ def _bwd_dq_kernel(
         dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _flash_bwd(res, g, scale, block_q, block_k):
+def _flash_bwd(res, g, scale, block_q, block_k, kv_len):
     q, k, v, out, lse = res
     BH, N, D = q.shape
     M = k.shape[1]
@@ -237,7 +255,9 @@ def _flash_bwd(res, g, scale, block_q, block_k):
     kv_spec = pl.BlockSpec((1, block_k, D), lambda b, j, i: (b, j, 0),
                            memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale),
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, kv_len=kv_len, block_k=block_k
+        ),
         grid=(BH, M // block_k, N // block_q),
         in_specs=[qd_spec, kv_spec, kv_spec, qd_spec, lse_spec, lse_spec],
         out_specs=[kv_spec, kv_spec],
@@ -262,7 +282,9 @@ def _flash_bwd(res, g, scale, block_q, block_k):
     kv_spec2 = pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0),
                             memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale),
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, kv_len=kv_len, block_k=block_k
+        ),
         grid=(BH, N // block_q, M // block_k),
         in_specs=[qd_spec2, kv_spec2, kv_spec2, qd_spec2, lse_spec2, lse_spec2],
         out_specs=qd_spec2,
@@ -279,19 +301,19 @@ def _flash_bwd(res, g, scale, block_q, block_k):
 # public API with custom VJP
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_core(q, k, v, scale, block_q, block_k):
-    out, _ = _flash_fwd(q, k, v, scale, block_q, block_k, with_lse=False)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_core(q, k, v, scale, block_q, block_k, kv_len):
+    out, _ = _flash_fwd(q, k, v, scale, block_q, block_k, kv_len, with_lse=False)
     return out
 
 
-def _flash_core_fwd(q, k, v, scale, block_q, block_k):
-    out, lse = _flash_fwd(q, k, v, scale, block_q, block_k, with_lse=True)
+def _flash_core_fwd(q, k, v, scale, block_q, block_k, kv_len):
+    out, lse = _flash_fwd(q, k, v, scale, block_q, block_k, kv_len, with_lse=True)
     return out, (q, k, v, out, lse)
 
 
-def _flash_core_bwd(scale, block_q, block_k, res, g):
-    return _flash_bwd(res, g, scale, block_q, block_k)
+def _flash_core_bwd(scale, block_q, block_k, kv_len, res, g):
+    return _flash_bwd(res, g, scale, block_q, block_k, kv_len)
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -299,9 +321,8 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 def supported(n: int, m: int, block_q: int = DEFAULT_BLOCK_Q,
               block_k: int = DEFAULT_BLOCK_K) -> bool:
-    bq = min(block_q, n)
-    bk = min(block_k, m)
-    return n % bq == 0 and m % bk == 0 and bk % 128 == 0 and bq % 128 == 0
+    # arbitrary n/m supported via padding + tail masking; just needs real dims
+    return n >= 1 and m >= 1
 
 
 def flash_attention(
@@ -321,18 +342,22 @@ def flash_attention(
     assert bias is None, "flash kernel: bias path not implemented; use impl='xla'"
     B, N, H, Dh = q.shape
     M = k.shape[1]
-    bq = min(block_q, N)
-    bk = min(block_k, M)
-    assert supported(N, M, bq, bk), (N, M, bq, bk)
+    bq = min(block_q, max(128, ((N + 127) // 128) * 128))
+    bk = min(block_k, max(128, ((M + 127) // 128) * 128))
+    n_pad = ((N + bq - 1) // bq) * bq
+    m_pad = ((M + bk - 1) // bk) * bk
 
     d_pad = max(128, ((Dh + 127) // 128) * 128)
     scale = Dh**-0.5  # scale by TRUE head dim, not the padded one
 
-    def to_bh(x):
-        return _pad_heads(
-            x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], Dh), d_pad
-        )
+    def to_bh(x, seq_pad):
+        x = x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], Dh)
+        if seq_pad != x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, seq_pad - x.shape[1]), (0, 0)))
+        return _pad_heads(x, d_pad)
 
-    out = _flash_core(to_bh(q), to_bh(k), to_bh(v), scale, bq, bk)
-    out = out[..., :Dh].reshape(B, H, N, Dh).transpose(0, 2, 1, 3)
+    out = _flash_core(
+        to_bh(q, n_pad), to_bh(k, m_pad), to_bh(v, m_pad), scale, bq, bk, M
+    )
+    out = out[:, :N, :Dh].reshape(B, H, N, Dh).transpose(0, 2, 1, 3)
     return out

@@ -72,3 +72,40 @@ def test_flash_bf16_inputs():
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+@pytest.mark.parametrize("N,M", [(300, 300), (450, 200), (1000, 250)])
+def test_flash_arbitrary_lengths(N, M):
+    """Padding + kv tail masking: any (N, M) matches the XLA path."""
+    rng = np.random.RandomState(3)
+    B, H, Dh = 1, 2, 72
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    want = attention(q, k, v, impl="xla", fp32_softmax=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_grads_arbitrary_lengths():
+    rng = np.random.RandomState(4)
+    B, N, M, H, Dh = 1, 200, 300, 2, 72
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    tangent = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention(q, k, v, impl="xla", fp32_softmax=True) * tangent)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=128, block_k=128) * tangent)
+
+    want = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=3e-4, atol=3e-4, err_msg=name
+        )
