@@ -193,3 +193,64 @@ def test_full_inference_path_parity():
         ).numpy().transpose(0, 2, 3, 1)
 
     np.testing.assert_allclose(np.asarray(ours), want, rtol=2e-3, atol=2e-3)
+
+
+def test_ddim_loop_parity():
+    """Deterministic DDIM (eta=0) full loop: ours vs reference p_sample path."""
+    from diffusion.model import gaussian_diffusion as ref_gd
+    from diffusion.model.respace import SpacedDiffusion, space_timesteps
+
+    from pixart_sigma_tpu.diffusion import IDDPM
+
+    model, cfg, params, (x, t, y, mask), _ = _ours(input_size=16, multi_scale=True)
+    B, L = 2, 8
+    noise = np.random.RandomState(9).randn(B, 16, 16, 4).astype(np.float32)
+
+    ours_diff = IDDPM(timestep_respacing=[8], learn_sigma=True)
+
+    def model_fn(x_t, t_vec):
+        return model.apply(
+            {"params": params}, x_t, t_vec.astype(jnp.float32),
+            jnp.asarray(y), jnp.asarray(mask),
+        )
+
+    got = ours_diff.ddim_sample_loop(
+        model_fn, (B, 16, 16, 4), jax.random.PRNGKey(0),
+        noise=jnp.asarray(noise), clip_denoised=False, eta=0.0,
+    )
+
+    sd = flax_to_torch_state_dict(params, cfg)
+    ref = RefPixArtMS(input_size=16, **DIMS, pe_interpolation=1.0).eval()
+    ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    betas = ref_gd.get_named_beta_schedule("linear", 1000)
+    ref_diff = SpacedDiffusion(
+        use_timesteps=space_timesteps(1000, [8]),
+        betas=betas,
+        model_mean_type=ref_gd.ModelMeanType.EPSILON,
+        model_var_type=ref_gd.ModelVarType.LEARNED_RANGE,
+        loss_type=ref_gd.LossType.MSE,
+    )
+    class _Wrap(torch.nn.Module):
+        def __init__(self, net):
+            super().__init__()
+            self.net = net
+
+        def forward(self, xx, timestep=None, **kw):
+            return self.net(
+                xx, timestep, torch.from_numpy(y)[:, None],
+                mask=torch.from_numpy(mask)[:, None, None],
+            )
+
+    with torch.no_grad():
+        want = ref_diff.ddim_sample_loop(
+            _Wrap(ref),
+            (B, 4, 16, 16),
+            noise=torch.from_numpy(noise.transpose(0, 3, 1, 2)),
+            clip_denoised=False,
+            eta=0.0,
+            progress=False,
+        ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
