@@ -52,6 +52,8 @@ def model_kwargs_from_config(config, **overrides) -> Dict[str, Any]:
             kv_compress_scale=kv.get("scale_factor", 1),
             kv_compress_layers=tuple(kv.get("kv_compress_layer", ())),
         )
+    # config-level architecture overrides (debug/integration-test models)
+    kwargs.update(config.get("model_overrides", {}) or {})
     kwargs.update(overrides)
     return kwargs
 

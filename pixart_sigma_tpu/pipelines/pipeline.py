@@ -129,12 +129,33 @@ class PixArtPipeline:
             ars.append(ar[0])
         if height is None or width is None:
             height, width = int(hws[0][0]), int(hws[0][1])
+        if not getattr(self.model.cfg, "multi_scale", True) and height != width:
+            # fixed-resolution PixArt only supports square grids; snap to base
+            height = width = self.base_resolution
         h, w = height // 8, width // 8
 
         if y is None:
-            y, y_mask = self.encode_prompts(clean_prompts)
+            if self.t5 is None:
+                # no text encoder: condition on the learned null caption so
+                # the full path still runs (smoke tests / encoder-less setups)
+                import warnings
+
+                warnings.warn(
+                    "pipeline has no T5 encoder; conditioning on the null "
+                    "caption embedding — outputs are UNCONDITIONAL"
+                )
+                null_emb = self.params["params"]["y_embedder"]["y_embedding"]
+                y = jnp.broadcast_to(
+                    null_emb[None], (B, *null_emb.shape)
+                ).astype(jnp.float32)
+                y_mask = jnp.ones((B, null_emb.shape[0]), jnp.int32)
+            else:
+                y, y_mask = self.encode_prompts(clean_prompts)
         if y_null is None:
-            null_y, null_mask = self.encode_prompts([negative_prompt] * B)
+            if self.t5 is None:
+                null_y, null_mask = y, y_mask
+            else:
+                null_y, null_mask = self.encode_prompts([negative_prompt] * B)
         else:
             null_y, null_mask = y_null, y_mask
         mask_full = jnp.concatenate([null_mask, y_mask], axis=0)

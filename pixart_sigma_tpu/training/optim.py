@@ -167,10 +167,15 @@ def build_optimizer(
     eps (1e-30,1e-16)) with gradient_clip 0.01 for Sigma configs.
     """
     if name == "came":
+        # eps may leak in as a scalar from a merged AdamW base config; CAME
+        # needs its (eps1, eps2) pair — fall back to the paper defaults then
+        eps_pair = (
+            tuple(eps) if isinstance(eps, (tuple, list)) else (1e-30, 1e-16)
+        )
         opt = came(
             learning_rate,
             betas=tuple(betas) if betas else (0.9, 0.999, 0.9999),
-            eps=tuple(eps) if eps else (1e-30, 1e-16),
+            eps=eps_pair,
             weight_decay=weight_decay,
         )
     elif name == "lion":
