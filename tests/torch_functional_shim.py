@@ -121,6 +121,11 @@ def upgrade_stubs() -> None:
     from tests.reference_shim import install_reference
 
     install_reference()
+    # reference model classes bind Mlp/Attention at class-definition time;
+    # purge any already-imported reference modules so they rebuild against
+    # the functional stand-ins (matters when other tests imported them first)
+    for name in [m for m in sys.modules if m.startswith("diffusion")]:
+        del sys.modules[name]
     sys.modules["timm.models.vision_transformer"].Mlp = Mlp
     sys.modules["timm.models.vision_transformer"].PatchEmbed = PatchEmbed
     sys.modules["timm.models.vision_transformer"].Attention = Attention
