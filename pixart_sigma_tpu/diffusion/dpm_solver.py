@@ -616,6 +616,8 @@ def make_cfg_model_fn(
     cfg_scale: float,
     model_type: str = "noise",
     model_kwargs: Optional[dict] = None,
+    guidance_type: str = "classifier-free",
+    classifier_fn=None,  # (x, t_model, condition) -> [B] log-probs
 ) -> ContinuousModelFn:
     """Classifier-free-guided continuous-time noise predictor.
 
@@ -661,8 +663,24 @@ def make_cfg_model_fn(
             return (jnp.asarray(t_cont, jnp.float32) - 1.0 / ns.total_N) * 1000.0
         return jnp.asarray(t_cont, jnp.float32)
 
+    assert guidance_type in ("uncond", "classifier", "classifier-free")
+
     def model_fn(x, t_cont):
         t_model = model_input_time(t_cont)
+        if guidance_type == "uncond":
+            t_vec = jnp.broadcast_to(t_model, (x.shape[0],)).astype(jnp.float32)
+            return to_noise(x, t_cont, apply_fn(x, t_vec, condition, **model_kwargs))
+        if guidance_type == "classifier":
+            # eps_guided = eps - s * sigma_t * grad_x log p(c|x_t)
+            # (spec model_wrapper :288-324; torch autograd -> jax.grad)
+            assert classifier_fn is not None
+            t_vec = jnp.broadcast_to(t_model, (x.shape[0],)).astype(jnp.float32)
+            cond_grad = jax.grad(
+                lambda xx: jnp.sum(classifier_fn(xx, t_vec, condition))
+            )(x)
+            _, sigma_t = marginals(t_cont)
+            noise = to_noise(x, t_cont, apply_fn(x, t_vec, condition, **model_kwargs))
+            return noise - cfg_scale * sigma_t * cond_grad
         if cfg_scale == 1.0 or uncondition is None:
             t_vec = jnp.broadcast_to(t_model, (x.shape[0],)).astype(jnp.float32)
             out = apply_fn(x, t_vec, condition, **model_kwargs)
