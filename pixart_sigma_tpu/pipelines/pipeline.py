@@ -51,6 +51,7 @@ class PixArtPipeline:
         beta_schedule: str = "linear",
         num_train_timesteps: int = 1000,
         base_resolution: int = 1024,
+        mesh=None,
     ):
         self.model = model
         self.params = params
@@ -62,6 +63,18 @@ class PixArtPipeline:
         self.ns = NoiseScheduleVP("discrete", betas=self.betas)
         self.base_resolution = base_resolution
         self._jit_cache: Dict[Any, Any] = {}
+        # data-parallel serving: batch sharded over the mesh, params replicated
+        self.mesh = mesh
+        if mesh is not None:
+            from pixart_sigma_tpu.parallel.mesh import data_sharding, replicated
+
+            self._batch_sharding = data_sharding(mesh)
+            self.params = jax.device_put(self.params, replicated(mesh))
+
+    def _shard(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.mesh is None:
+            return x
+        return jax.device_put(x, self._batch_sharding)
 
     # ------------------------------------------------------------- encoders
     def encode_prompts(self, prompts: Sequence[str]):
@@ -166,7 +179,10 @@ class PixArtPipeline:
 
         rng = jax.random.PRNGKey(seed)
         rng, init_rng = jax.random.split(rng)
-        x = jax.random.normal(init_rng, (B, h, w, 4), jnp.float32)
+        x = self._shard(jax.random.normal(init_rng, (B, h, w, 4), jnp.float32))
+        y = self._shard(y)
+        null_y = self._shard(null_y)
+        mask_full = self._shard(mask_full)
 
         key = (sampler, B, h, w, num_inference_steps, float(guidance_scale), micro)
         if sampler == "dpm-solver":

@@ -71,3 +71,27 @@ def test_config_system_inheritance():
                                     caption_channels=32)
     assert model.cfg.kv_compress_layers == tuple(range(14, 28))
     assert model.cfg.pe_interpolation == 2.0
+
+
+def test_pipeline_data_parallel_mesh():
+    """Sampling with the batch sharded over an 8-device mesh matches 1-dev."""
+    from pixart_sigma_tpu.parallel.mesh import MeshConfig, build_mesh
+
+    pipe, y, null_y, mask = _tiny_pipeline()
+    y8 = jnp.tile(y, (4, 1, 1))
+    null8 = jnp.tile(null_y, (4, 1, 1))
+    mask8 = jnp.tile(mask, (4, 1))
+    prompts = ["p"] * 8
+    single = pipe(
+        prompts, height=64, width=64, num_inference_steps=4,
+        sampler="dpm-solver", y=y8, y_mask=mask8, y_null=null8,
+        return_latents=True,
+    )
+    mesh = build_mesh(MeshConfig())
+    pipe_dp = PixArtPipeline(pipe.model, pipe.params, base_resolution=256, mesh=mesh)
+    sharded = pipe_dp(
+        prompts, height=64, width=64, num_inference_steps=4,
+        sampler="dpm-solver", y=y8, y_mask=mask8, y_null=null8,
+        return_latents=True,
+    )
+    np.testing.assert_allclose(single, sharded, rtol=2e-4, atol=2e-4)
