@@ -201,6 +201,10 @@ class PixArtPipeline:
             fn = self._cached(key, lambda: self._build_lcm(
                 B, h, w, num_inference_steps, micro))
             latents = fn(self.params, x, y, y_mask, img_hw, aspect, rng)
+        elif sampler == "dmd":
+            # one-NFE DMD generator at t=400 (app_pixart_dmd.py:193-204)
+            fn = self._cached(key, lambda: self._build_dmd(B, h, w, micro))
+            latents = fn(self.params, x, y, y_mask, img_hw, aspect)
         else:
             raise ValueError(f"unknown sampler {sampler}")
 
@@ -279,6 +283,21 @@ class PixArtPipeline:
             return diffusion.p_sample_loop(
                 model_fn, (B, h, w, 4), rng, noise=x, clip_denoised=False
             )
+
+        return jax.jit(run)
+
+    def _build_dmd(self, B, h, w, micro, start_ts: int = 400):
+        acp = float(
+            np.cumprod(1.0 - self.betas)[start_ts]
+        )
+
+        def run(params, x, y, y_mask, img_hw, aspect):
+            t_vec = jnp.full((B,), float(start_ts), jnp.float32)
+            kwargs = {}
+            if micro:
+                kwargs = dict(img_hw=img_hw, aspect_ratio=aspect)
+            eps = self.model.apply(params, x, t_vec, y, y_mask, **kwargs)[..., :4]
+            return (x - (1 - acp) ** 0.5 * eps) / acp**0.5
 
         return jax.jit(run)
 
