@@ -40,11 +40,17 @@ def main() -> None:
     STEPS = 20
     H = W = 128  # 1024px / 8
 
+    # the reference's production 1024px operating point includes Sigma KV
+    # compression (configs/pixart_sigma_config/..._internalms_kvcompress.py:
+    # conv x2, layers 14-27)
     cfg = PixArtConfig(
         input_size=128,
         model_max_length=300,
         pe_interpolation=2.0,
         dtype=jnp.bfloat16,
+        kv_compress_sampling="conv",
+        kv_compress_scale=2,
+        kv_compress_layers=tuple(range(14, 28)),
     )
     model = PixArt(cfg)
     rng = np.random.RandomState(0)

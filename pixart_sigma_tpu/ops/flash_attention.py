@@ -348,7 +348,9 @@ def flash_attention(
     m_pad = ((M + bk - 1) // bk) * bk
 
     d_pad = max(128, ((Dh + 127) // 128) * 128)
-    scale = Dh**-0.5  # scale by TRUE head dim, not the padded one
+    # fold the softmax scale (by the TRUE head dim) into q once, instead of
+    # rescaling every [BQ, BK] logit tile on the VPU inside the kernel
+    q = q * jnp.asarray(Dh**-0.5, q.dtype)
 
     def to_bh(x, seq_pad):
         x = x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], Dh)
@@ -357,7 +359,7 @@ def flash_attention(
         return _pad_heads(x, d_pad)
 
     out = _flash_core(
-        to_bh(q, n_pad), to_bh(k, m_pad), to_bh(v, m_pad), scale, bq, bk, M
+        to_bh(q, n_pad), to_bh(k, m_pad), to_bh(v, m_pad), 1.0, bq, bk, M
     )
     out = out[:, :N, :Dh].reshape(B, H, N, Dh).transpose(0, 2, 1, 3)
     return out
