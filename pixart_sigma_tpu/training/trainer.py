@@ -61,7 +61,25 @@ def build_dataset(config: Config):
 
 
 class Trainer:
-    def __init__(self, config: Config, work_dir: Optional[str] = None):
+    """config -> data -> sharded steps -> checkpoints.
+
+    `vae`/`vae_params` and `t5` enable on-the-fly encoding when the dataset
+    yields raw images/prompts (config load_vae_feat/load_t5_feat False —
+    reference train.py:144-168); with precomputed features they stay None.
+    """
+
+    def __init__(
+        self,
+        config: Config,
+        work_dir: Optional[str] = None,
+        vae=None,
+        vae_params=None,
+        t5=None,
+    ):
+        self.vae = vae
+        self.vae_params = vae_params
+        self.t5 = t5
+        self._encode_jit = None
         self.config = config
         self.work_dir = work_dir or config.work_dir
         os.makedirs(self.work_dir, exist_ok=True)
@@ -172,9 +190,45 @@ class Trainer:
         )
 
     # ----------------------------------------------------------------- loop
+    def _encode_images(self, images: np.ndarray) -> jnp.ndarray:
+        """On-the-fly VAE posterior sampling (reference train.py:144-155)."""
+        assert self.vae is not None, (
+            "dataset yields raw images (load_vae_feat=False) but the Trainer "
+            "was built without a VAE — pass vae=/vae_params= or precompute"
+        )
+        from pixart_sigma_tpu.models.vae import AutoencoderKL
+
+        if self._encode_jit is None:
+            sample_posterior = self.config.get("sample_posterior", True)
+
+            def enc(params, x, rng):
+                mean, logvar = self.vae.apply(
+                    params, x, method=AutoencoderKL.encode
+                )
+                if sample_posterior:
+                    z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                        rng, mean.shape, mean.dtype
+                    )
+                else:
+                    z = mean
+                return z
+
+            self._encode_jit = jax.jit(enc)
+        rng = jax.random.PRNGKey(int(time.time_ns()) % (2**31))
+        return self._encode_jit(self.vae_params, jnp.asarray(images), rng)
+
     def prepare_batch(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        if "latents" not in batch:
+            batch = dict(batch, latents=self._encode_images(batch["image"]))
+        if "y" not in batch:
+            assert self.t5 is not None, (
+                "dataset yields raw prompts (load_t5_feat=False) but the "
+                "Trainer was built without a T5 encoder"
+            )
+            y, y_mask = self.t5.get_text_embeddings(batch["prompt"])
+            batch = dict(batch, y=y, y_mask=y_mask)
         out = {
-            "latents": batch["latents"] * self.config.scale_factor,
+            "latents": jnp.asarray(batch["latents"]) * self.config.scale_factor,
             "y": batch["y"],
             "y_mask": batch["y_mask"],
         }

@@ -54,7 +54,31 @@ def main():
         config.train_batch_size = 2
         config.log_interval = 1
 
-    trainer = Trainer(config)
+    vae = vae_params = t5 = None
+    data_cfg = config.get("data", {}) or {}
+    if not data_cfg.get("load_vae_feat", True) and config.get("vae_pretrained"):
+        from pixart_sigma_tpu.models.vae import (
+            AutoencoderKL,
+            VAEConfig,
+            diffusers_vae_to_flax,
+        )
+        from pixart_sigma_tpu.utils.checkpoint import load_safetensors_state_dict
+
+        vae_cfg = VAEConfig.sdxl(scaling_factor=config.scale_factor)
+        vae = AutoencoderKL(vae_cfg)
+        vae_params = {
+            "params": diffusers_vae_to_flax(
+                load_safetensors_state_dict(config.vae_pretrained), vae_cfg
+            )
+        }
+    if not data_cfg.get("load_t5_feat", True) and config.get("t5_pretrained"):
+        from pixart_sigma_tpu.models.t5 import T5Embedder
+
+        t5 = T5Embedder.from_pretrained(
+            config.t5_pretrained, model_max_length=config.model_max_length
+        )
+
+    trainer = Trainer(config, vae=vae, vae_params=vae_params, t5=t5)
     trainer.train(max_steps=args.max_steps)
 
 

@@ -101,3 +101,42 @@ def test_trainer_end_to_end(tmp_path, monkeypatch):
     trainer2.init_state(jax.random.PRNGKey(0), trainer2.prepare_batch(first))
     resumed = trainer2.maybe_resume()
     assert resumed == 2
+
+
+def test_trainer_on_the_fly_vae_encoding(tmp_path, monkeypatch):
+    """load_vae_feat=False path: raw images -> VAE encode inside the trainer."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixart_sigma_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    root = _make_fake_sigma_root(tmp_path, n=16, uniform=True)
+    config = _tiny_config(tmp_path, root)
+    config["data"] = dict(
+        type="PixArtDataset", root="InternData", dialect="sigma",
+        load_vae_feat=False, load_t5_feat=True,
+    )
+    config["image_size"] = 64  # dataset resizes to 64px; tiny VAE /2 -> 32
+    config["num_epochs"] = 1
+    config["save_model_steps"] = 1000
+
+    import pixart_sigma_tpu.training.trainer as trainer_mod
+    from pixart_sigma_tpu.models.builder import build_model_from_config
+
+    def tiny_build(cfg, **over):
+        # tiny VAE downsamples /2: 64px -> 32 latent grid -> 16x16 tokens
+        return build_model_from_config(
+            cfg, depth=1, hidden_size=48, num_heads=4, caption_channels=64,
+            input_size=32, **over,
+        )
+
+    monkeypatch.setattr(trainer_mod, "build_model_from_config", tiny_build)
+
+    vae_cfg = VAEConfig.small_test()
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = vae.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), jax.random.PRNGKey(1)
+    )
+    trainer = trainer_mod.Trainer(config, vae=vae, vae_params=vae_params)
+    state = trainer.train(max_steps=1)
+    assert int(state.step) == 1
