@@ -126,9 +126,21 @@ class Trainer:
             self.tx = optax.MultiSteps(self.tx, every_k_schedule=accum)
         self.schedule = schedule
         self.state: Optional[TrainState] = None
+        # optional importance sampling of t (component #12; off by default,
+        # matching the reference trainer)
+        self.sampler_state = None
+        if config.get("schedule_sampler") == "loss-second-moment":
+            from pixart_sigma_tpu.diffusion.timestep_sampler import (
+                LossSecondMomentResampler,
+            )
+
+            self.sampler_state = LossSecondMomentResampler.create(
+                config.train_sampling_steps
+            )
         self.step_fn = make_train_step(
             self.model, self.diffusion, mesh=self.mesh,
             fsdp=config.get("use_fsdp", False),
+            schedule_sampler=self.sampler_state,
         )
         self.batch_sharding = data_sharding(self.mesh)
 
@@ -257,7 +269,12 @@ class Trainer:
         for epoch in range(cfg.num_epochs):
             for batch in loader:
                 batch_dev = self.prepare_batch(batch)
-                self.state, metrics = self.step_fn(self.state, batch_dev, rng)
+                if self.sampler_state is not None:
+                    self.state, metrics, self.sampler_state = self.step_fn(
+                        self.state, batch_dev, rng, self.sampler_state
+                    )
+                else:
+                    self.state, metrics = self.step_fn(self.state, batch_dev, rng)
                 step += 1
                 buf.update({k: v for k, v in metrics.items()})
                 if step % cfg.log_interval == 0:

@@ -140,3 +140,26 @@ def test_trainer_on_the_fly_vae_encoding(tmp_path, monkeypatch):
     trainer = trainer_mod.Trainer(config, vae=vae, vae_params=vae_params)
     state = trainer.train(max_steps=1)
     assert int(state.step) == 1
+
+
+def test_trainer_with_loss_second_moment_sampler(tmp_path, monkeypatch):
+    root = _make_fake_sigma_root(tmp_path, n=16, uniform=True)
+    config = _tiny_config(tmp_path, root)
+    config["schedule_sampler"] = "loss-second-moment"
+    config["num_epochs"] = 1
+    config["save_model_steps"] = 1000
+
+    import pixart_sigma_tpu.training.trainer as trainer_mod
+    from pixart_sigma_tpu.models.builder import build_model_from_config
+
+    monkeypatch.setattr(
+        trainer_mod, "build_model_from_config",
+        lambda cfg, **o: build_model_from_config(
+            cfg, depth=1, hidden_size=48, num_heads=4, caption_channels=64, **o
+        ),
+    )
+    trainer = trainer_mod.Trainer(config)
+    state = trainer.train(max_steps=2)
+    assert int(state.step) == 2
+    # the resampler accumulated loss history
+    assert int(np.asarray(trainer.sampler_state.counts).sum()) > 0
