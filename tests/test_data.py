@@ -79,8 +79,15 @@ def _make_fake_sigma_root(tmp_path, n=24, uniform=False):
         )
         lat = rng.randn(8, h // 8, w // 8).astype(np.float32)  # [2C, h, w]
         np.save(root / "img_sdxl_vae_features_256resolution_new" / f"img_{i}.npy", lat)
+        # multi-scale latents are precomputed at the BUCKET resolution
+        # (tools/extract_features.py --multi-scale)
+        bucket, _ = aspect.get_closest_ratio(h, w, aspect.ASPECT_RATIO_256)
+        lat_ms = rng.randn(
+            8, int(bucket[0]) // 8, int(bucket[1]) // 8
+        ).astype(np.float32)
         np.save(
-            root / "img_sdxl_vae_features_256resolution_ms_new" / f"img_{i}.npy", lat
+            root / "img_sdxl_vae_features_256resolution_ms_new" / f"img_{i}.npy",
+            lat_ms,
         )
         meta.append(
             {"path": name, "prompt": f"prompt {i}", "sharegpt4v": f"gpt {i}",

@@ -163,3 +163,34 @@ def test_trainer_with_loss_second_moment_sampler(tmp_path, monkeypatch):
     assert int(state.step) == 2
     # the resampler accumulated loss history
     assert int(np.asarray(trainer.sampler_state.counts).sum()) > 0
+
+
+def test_trainer_multi_scale_buckets(tmp_path, monkeypatch):
+    """Bucketed multi-scale training: one compiled step per (H, W) bucket,
+    micro-conditioning fields threaded through."""
+    root = _make_fake_sigma_root(tmp_path, n=64, uniform=False)
+    config = _tiny_config(tmp_path, root)
+    config["data"] = dict(
+        type="PixArtMSDataset", root="InternData", dialect="sigma",
+        load_vae_feat=True, load_t5_feat=True,
+    )
+    config["model"] = "PixArtMS_XL_2"
+    config["multi_scale"] = True
+    config["aspect_ratio_type"] = 256
+    config["micro_condition"] = True
+    config["train_batch_size"] = 8  # must divide the mesh batch axes (8 devs)
+    config["num_epochs"] = 1
+    config["save_model_steps"] = 1000
+
+    import pixart_sigma_tpu.training.trainer as trainer_mod
+    from pixart_sigma_tpu.models.builder import build_model_from_config
+
+    monkeypatch.setattr(
+        trainer_mod, "build_model_from_config",
+        lambda cfg, **o: build_model_from_config(
+            cfg, depth=1, hidden_size=48, num_heads=4, caption_channels=64, **o
+        ),
+    )
+    trainer = trainer_mod.Trainer(config)
+    state = trainer.train(max_steps=3)
+    assert int(state.step) >= 2  # at least two buckets' worth of batches
