@@ -66,32 +66,39 @@ def attention(
     bias: [B, H, N, M] or broadcastable additive bias
     impl: 'auto' | 'xla' | 'flash'
     """
+    if (
+        impl == "flash"
+        or (impl == "auto" and bias is None and _flash_ok(q, k, key_mask))
+    ):
+        from pixart_sigma_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, bias=bias, key_mask=key_mask)
+
     if key_mask is not None:
         key_bias = jnp.where(key_mask[:, None, None, :], 0.0, -jnp.inf).astype(
             jnp.float32
         )
         bias = key_bias if bias is None else bias + key_bias
-
-    if impl == "flash" or (impl == "auto" and _flash_ok(q, k, bias)):
-        from pixart_sigma_tpu.ops.flash_attention import flash_attention
-
-        return flash_attention(q, k, v, bias=bias)
     return _xla_attention(q, k, v, bias, fp32_softmax)
 
 
-def _flash_ok(q: jnp.ndarray, k: jnp.ndarray, bias) -> bool:
-    """Use the Pallas kernel on TPU when the (unbiased) shapes tile cleanly."""
-    if bias is not None:
-        return False  # masked/cross attention stays on the XLA path (M small)
+def _flash_ok(q: jnp.ndarray, k: jnp.ndarray, key_mask) -> bool:
+    """Use the Pallas kernel on TPU when it beats the fused XLA path."""
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:
         return False
     if platform != "tpu":
         return False
-    from pixart_sigma_tpu.ops.flash_attention import supported
-
-    # the XLA fused path wins up to ~4k tokens (head-dim padding costs the
-    # kernel ~1.8x MXU work at Dh=72); beyond that XLA materialises the
-    # [N, M] logits and OOMs — flash is mandatory for 2K/4K latent grids
-    return q.shape[1] >= 8192 and supported(q.shape[1], k.shape[1])
+    if key_mask is not None:
+        # masked attention (mask riding a spare padded lane). At small M
+        # (300-token captions) per-program overheads lose to XLA's fused
+        # softmax; flash only pays off when the logits get huge on BOTH dims
+        return (
+            q.shape[1] >= 8192 and k.shape[1] >= 2048
+            and q.shape[-1] % 128 != 0
+        )
+    # self-attention: the XLA fused path wins up to ~4k tokens (head-dim
+    # padding costs the kernel ~1.8x MXU work at Dh=72); beyond that XLA
+    # OOMs materialising the logits — flash is mandatory for 2K/4K grids
+    return q.shape[1] >= 8192

@@ -330,16 +330,22 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
+    key_mask: Optional[jnp.ndarray] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jnp.ndarray:
-    """Flash attention over [B, N, H, Dh] (+[B, M, H, Dh] kv). No-bias path.
+    """Flash attention over [B, N, H, Dh] (+[B, M, H, Dh] kv).
 
-    Fallback is the caller's job (ops.attention handles dispatch); bias is
-    not yet supported by the kernel — masked/cross attention stays on the
-    XLA path where M is small (300 caption tokens).
+    key_mask [B, M] (True = valid) supports masked CROSS-attention (padded
+    captions) with ZERO kernel cost: the head-dim padding to the 128-lane
+    width leaves free zero lanes, so the additive mask rides in an extra
+    feature lane — q gets 1 there, k gets the mask value, and q@k^T picks it
+    up inside the existing matmul. Gradients to that lane are discarded by
+    the output slice. Requires Dh < padded width (true for PixArt's 72).
+
+    Dense `bias` is not supported — fall back to impl='xla'.
     """
-    assert bias is None, "flash kernel: bias path not implemented; use impl='xla'"
+    assert bias is None, "flash kernel: dense bias not implemented; use impl='xla'"
     B, N, H, Dh = q.shape
     M = k.shape[1]
     bq = min(block_q, max(128, ((N + 127) // 128) * 128))
@@ -348,6 +354,8 @@ def flash_attention(
     m_pad = ((M + bk - 1) // bk) * bk
 
     d_pad = max(128, ((Dh + 127) // 128) * 128)
+    if key_mask is not None:
+        assert Dh < d_pad, "key_mask needs a spare padded lane (Dh < 128k)"
     # fold the softmax scale (by the TRUE head dim) into q once, instead of
     # rescaling every [BQ, BK] logit tile on the VPU inside the kernel
     q = q * jnp.asarray(Dh**-0.5, q.dtype)
@@ -358,8 +366,14 @@ def flash_attention(
             x = jnp.pad(x, ((0, 0), (0, seq_pad - x.shape[1]), (0, 0)))
         return _pad_heads(x, d_pad)
 
-    out = _flash_core(
-        to_bh(q, n_pad), to_bh(k, m_pad), to_bh(v, m_pad), 1.0, bq, bk, M
-    )
+    q_bh, k_bh, v_bh = to_bh(q, n_pad), to_bh(k, m_pad), to_bh(v, m_pad)
+    if key_mask is not None:
+        madd = jnp.where(key_mask.astype(bool), 0.0, _NEG_INF).astype(k_bh.dtype)
+        madd = jnp.pad(madd, ((0, 0), (0, m_pad - M)))  # pad tail: masked
+        madd = jnp.repeat(madd, H, axis=0)  # [B*H, M_pad]
+        k_bh = k_bh.at[:, :, d_pad - 1].set(madd)
+        q_bh = q_bh.at[:, :, d_pad - 1].set(jnp.asarray(1.0, q_bh.dtype))
+
+    out = _flash_core(q_bh, k_bh, v_bh, 1.0, bq, bk, M)
     out = out[:, :N, :Dh].reshape(B, H, N, Dh).transpose(0, 2, 1, 3)
     return out

@@ -109,3 +109,48 @@ def test_flash_grads_arbitrary_lengths():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), rtol=3e-4, atol=3e-4, err_msg=name
         )
+
+
+def test_flash_key_mask_matches_xla():
+    """Masked cross-attention via the spare-lane trick == XLA masked path."""
+    rng = np.random.RandomState(5)
+    B, N, M, H, Dh = 2, 256, 300, 2, 72
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    key_mask = np.ones((B, M), bool)
+    key_mask[0, 120:] = False
+    key_mask[1, 7:] = False
+    km = jnp.asarray(key_mask)
+    want = attention(q, k, v, key_mask=km, impl="xla", fp32_softmax=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v, key_mask=km, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_flash_key_mask_grads_match_xla():
+    rng = np.random.RandomState(6)
+    B, N, M, H, Dh = 1, 128, 200, 2, 72
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    km = jnp.asarray(np.arange(M)[None] < 150)
+    tangent = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention(q, k, v, key_mask=km, impl="xla",
+                                 fp32_softmax=True) * tangent)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, key_mask=km, block_q=128, block_k=128)
+            * tangent
+        )
+
+    want = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-4, err_msg=name
+        )
