@@ -78,3 +78,28 @@ def test_fft_strength_shape():
     assert s.shape == (2, 16)
     md = get_mask(jax.random.PRNGKey(0), 2, 16, 0.5, mask_type="fft", strength=s)
     assert md["ids_keep"].shape == (2, 8)
+
+
+def test_window_partition_roundtrip():
+    from pixart_sigma_tpu.ops.windows import window_partition, window_unpartition
+
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 10, 14, 8), jnp.float32)
+    windows, (Hp, Wp) = window_partition(x, window_size=4)
+    assert Hp == 12 and Wp == 16
+    assert windows.shape == (2 * 3 * 4, 4, 4, 8)
+    back = window_unpartition(windows, 4, (Hp, Wp), (10, 14))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=0)
+
+
+def test_decomposed_rel_pos_shapes():
+    from pixart_sigma_tpu.ops.windows import add_decomposed_rel_pos, get_rel_pos
+
+    rng = np.random.RandomState(4)
+    rel = jnp.asarray(rng.randn(7, 8), jnp.float32)  # (2*4-1, C)
+    r = get_rel_pos(4, 4, rel)
+    assert r.shape == (4, 4, 8)
+    attn = jnp.zeros((2, 16, 16))
+    q = jnp.asarray(rng.randn(2, 16, 8), jnp.float32)
+    out = add_decomposed_rel_pos(attn, q, rel, rel, (4, 4), (4, 4))
+    assert out.shape == (2, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
