@@ -66,10 +66,15 @@ def attention(
     bias: [B, H, N, M] or broadcastable additive bias
     impl: 'auto' | 'xla' | 'flash'
     """
-    if (
-        impl == "flash"
-        or (impl == "auto" and bias is None and _flash_ok(q, k, key_mask))
-    ):
+    choice = impl
+    if impl == "auto":
+        choice = _dispatch(q, k, key_mask) if bias is None else "xla"
+
+    if choice == "onepass":
+        from pixart_sigma_tpu.ops.flash_attention import onepass_attention
+
+        return onepass_attention(q, k, v, key_mask=key_mask)
+    if choice == "flash":
         from pixart_sigma_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, bias=bias, key_mask=key_mask)
@@ -82,23 +87,30 @@ def attention(
     return _xla_attention(q, k, v, bias, fp32_softmax)
 
 
-def _flash_ok(q: jnp.ndarray, k: jnp.ndarray, key_mask) -> bool:
-    """Use the Pallas kernel on TPU when it beats the fused XLA path."""
+def _dispatch(q: jnp.ndarray, k: jnp.ndarray, key_mask) -> str:
+    """Pick the fastest path on TPU (gates tuned from v5e measurements)."""
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:
-        return False
+        return "xla"
     if platform != "tpu":
-        return False
+        return "xla"
+    from pixart_sigma_tpu.ops import flash_attention as fa
+
+    N, M, Dh = q.shape[1], k.shape[1], q.shape[-1]
+    if Dh < 128 and fa.onepass_supported(N, M, Dh):
+        # one-pass kernel: whole K/V resident in VMEM, exact row max, no HBM
+        # logits. v5e measurements (B=16, H=16, Dh=72): self-attn N=M=4096
+        # 24.2 -> 17.5 ms, kv-compressed M=1024 14.1 -> 7.6 ms. For masked
+        # cross-attn (M=300 captions) the fused XLA softmax stays ahead
+        # end-to-end (bench 0.421 vs 0.407 img/s) until N is huge and the
+        # XLA path's [N, M] f32 logits HBM roundtrip dominates.
+        if key_mask is not None:
+            return "onepass" if N >= 8192 else "xla"
+        return "onepass" if N >= 2048 else "xla"
     if key_mask is not None:
-        # masked attention (mask riding a spare padded lane). At small M
-        # (300-token captions) per-program overheads lose to XLA's fused
-        # softmax; flash only pays off when the logits get huge on BOTH dims
-        return (
-            q.shape[1] >= 8192 and k.shape[1] >= 2048
-            and q.shape[-1] % 128 != 0
-        )
-    # self-attention: the XLA fused path wins up to ~4k tokens (head-dim
-    # padding costs the kernel ~1.8x MXU work at Dh=72); beyond that XLA
-    # OOMs materialising the logits — flash is mandatory for 2K/4K grids
-    return q.shape[1] >= 8192
+        # masked attention with K/V too large for the one-pass kernel
+        return "flash" if (N >= 8192 and M >= 2048 and Dh % 128 != 0) else "xla"
+    # huge self-attention (2K/4K grids): XLA OOMs materialising the logits —
+    # the online-softmax flash kernel is mandatory
+    return "flash" if N >= 8192 else "xla"

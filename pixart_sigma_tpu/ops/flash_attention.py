@@ -34,6 +34,13 @@ DEFAULT_BLOCK_K = 512
 _NEG_INF = -1e30
 _LANES = 8  # minor-dim width for lse/delta (block last-dim == array last-dim)
 
+# All kernels work in the log2 domain: the wrappers fold log2(e) into the
+# softmax scale on q, and the kernels use exp2 instead of exp (the VPU's exp
+# IS exp2(x*log2e), so this removes one multiply pass per logit). lse is
+# stored in log2 units; backward rescales ds by ln(2) for the chain rule.
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
+
 
 def _pad_heads(x: jnp.ndarray, d_pad: int) -> jnp.ndarray:
     if x.shape[-1] == d_pad:
@@ -78,8 +85,8 @@ def _fwd_kernel(
     m_prev = m_scr[:, 0:1]  # [BQ, 1]
     l_prev = l_scr[:, 0:1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -92,9 +99,9 @@ def _fwd_kernel(
     def _flush():
         l = l_scr[:, 0:1]
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
-        if lse_ref is not None:
+        if lse_ref is not None:  # log2 units, matching the exp2 backward
             lse_ref[0] = jnp.broadcast_to(
-                m_scr[:, 0:1] + jnp.log(l), lse_ref.shape[1:]
+                m_scr[:, 0:1] + jnp.log2(l), lse_ref.shape[1:]
             )
 
 
@@ -155,6 +162,120 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, kv_len=None, with_lse=True):
 
 
 # ---------------------------------------------------------------------------
+# one-pass forward (whole K/V resident in VMEM; no online-softmax rescaling)
+# ---------------------------------------------------------------------------
+#
+# For the production token counts (<= 4k keys: 1024px self-attention, every
+# kv-compressed layer, and 300-token caption cross-attention) the whole K/V
+# fits VMEM, so online softmax is pure overhead: the one-pass kernel computes
+# the EXACT row max and does a single exp sweep per logit. The softmax
+# denominator costs nothing — V's spare padded lane is set to 1.0, so the PV
+# matmul emits sum(p) in that lane for free (same trick as the key mask on
+# K's spare lane). VPU work per logit drops from ~8 ops (online rescaling) to
+# ~3, and logits never touch HBM (the XLA path streams [N, M] f32 logits
+# through HBM, which is its bottleneck — CLAUDE.md measurements).
+
+
+def _onepass_kernel(q_ref, k_ref, v_ref, madd_ref, o_ref, lse_ref, s_scr, *,
+                    kv_len):
+    """Grid (BH, nq); the full [M, D] K/V block is revisited across q-blocks.
+
+    q_ref [1, BQ, D] (pre-scaled by Dh^-0.5 * log2e), k_ref/v_ref
+    [1, M_pad, D], madd_ref [1, M_pad] f32 additive key mask or None,
+    o_ref [1, BQ, D], s_scr [BQ, M_pad] f32. lse_ref None => inference.
+    V's lane (d_pad-1) carries 1.0, so acc[:, -1] is the softmax denominator.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    m_pad = k.shape[0]
+    s_scr[:] = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if madd_ref is not None:  # padded caption mask (tail included)
+        s_scr[:] = s_scr[:] + madd_ref[0, 0:1, :]  # [1, M] broadcast
+    elif kv_len != m_pad:  # zero-padded K tail would get logit 0, exp -> 1
+        col = jax.lax.broadcasted_iota(jnp.int32, s_scr.shape, 1)
+        s_scr[:] = jnp.where(col < kv_len, s_scr[:], _NEG_INF)
+    m = jnp.max(s_scr[:], axis=-1, keepdims=True)  # exact row max
+    p = jnp.exp2(s_scr[:] - m).astype(v_ref.dtype)
+    acc = jax.lax.dot_general(
+        p, v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, D]; acc[:, -1] == sum(p) via V's ones lane
+    l = jnp.maximum(acc[:, -1:], 1e-30)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    if lse_ref is not None:  # log2 units, matching the exp2 backward
+        lse_ref[0] = jnp.broadcast_to(m + jnp.log2(l), lse_ref.shape[1:])
+
+
+def _onepass_fwd(q, k, v, madd, block_q, kv_len, n_heads, with_lse):
+    """q [BH, N, D], k/v [BH, M_pad, D] (V ones-lane), madd [B, M_pad]|None."""
+    BH, N, D = q.shape
+    M = k.shape[1]
+    grid = (BH, N // block_q)
+    in_specs = [
+        pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M, D), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M, D), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if madd is not None:
+        # [B, 8, M]: sublane dim 8 satisfies the TPU block tiling rule
+        in_specs.append(
+            pl.BlockSpec((1, 8, M), lambda b, i: (b // n_heads, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(madd)
+    o_spec = pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((block_q, M), jnp.float32)]
+    comp = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary")
+    )
+    has_madd = madd is not None
+
+    def kernel(*refs):
+        if has_madd:
+            qr, kr, vr, mr = refs[:4]
+            rest = refs[4:]
+        else:
+            qr, kr, vr = refs[:3]
+            mr, rest = None, refs[3:]
+        if with_lse:
+            orf, lser, s = rest
+        else:
+            (orf, s), lser = rest, None
+        _onepass_kernel(qr, kr, vr, mr, orf, lser, s, kv_len=kv_len)
+
+    if not with_lse:
+        out = pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs, out_specs=o_spec,
+            out_shape=jax.ShapeDtypeStruct((BH, N, D), q.dtype),
+            scratch_shapes=scratch, compiler_params=comp,
+        )(*args)
+        return out, None
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            o_spec,
+            pl.BlockSpec((1, block_q, _LANES), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, N, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, N, _LANES), jnp.float32),
+        ],
+        scratch_shapes=scratch, compiler_params=comp,
+    )(*args)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
 
@@ -182,7 +303,7 @@ def _bwd_dkv_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [BQ, BK]
     s = _kv_tail_mask(s, j, block_k, kv_len)
-    p = jnp.exp(s - lse)
+    p = jnp.exp2(s - lse)
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -190,7 +311,7 @@ def _bwd_dkv_kernel(
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - delta) * scale
+    ds = p * (dp - delta) * (scale * _LN2)  # d(exp2)/dx = exp2(x) * ln2
     dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -224,11 +345,11 @@ def _bwd_dq_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     s = _kv_tail_mask(s, j, block_k, kv_len)
-    p = jnp.exp(s - lse)
+    p = jnp.exp2(s - lse)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - delta) * scale
+    ds = p * (dp - delta) * (scale * _LN2)  # d(exp2)/dx = exp2(x) * ln2
     dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -319,6 +440,122 @@ def _flash_core_bwd(scale, block_q, block_k, kv_len, res, g):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _onepass_core(q, k, v, madd, block_q, kv_len, n_heads):
+    out, _ = _onepass_fwd(q, k, v, madd, block_q, kv_len, n_heads,
+                          with_lse=False)
+    return out
+
+
+def _onepass_core_fwd(q, k, v, madd, block_q, kv_len, n_heads):
+    out, lse = _onepass_fwd(q, k, v, madd, block_q, kv_len, n_heads,
+                            with_lse=True)
+    return out, (q, k, v, madd, out, lse)
+
+
+def _onepass_core_bwd(block_q, kv_len, n_heads, res, g):
+    # reuse the two-kernel flash backward (tiled; recomputes P from lse).
+    # The additive mask is re-injected via the spare-lane trick (k lane D-1
+    # carries madd, q lane D-1 carries 1.0) so the recomputed P matches the
+    # forward. Spurious lane gradients vanish (p == 0 exactly on masked
+    # columns) or are sliced off by the caller's un-pad. V's ones lane is
+    # harmless: g is zero on spare lanes, and dv's spare lanes are discarded.
+    q, k, v, madd, out, lse = res
+    if madd is not None:
+        D = q.shape[-1]
+        k = k.at[:, :, D - 1].set(
+            jnp.repeat(madd[:, 0, :].astype(k.dtype), n_heads, axis=0)
+        )
+        q = q.at[:, :, D - 1].set(jnp.asarray(1.0, q.dtype))
+    M = k.shape[1]
+    bk = next(b for b in (512, 384, 256, 128) if M % b == 0)
+    bq = min(DEFAULT_BLOCK_Q, q.shape[1])
+    dq, dk, dv = _flash_bwd((q, k, v, out, lse), g, 1.0, bq, bk, kv_len)
+    return dq, dk, dv, None
+
+
+_onepass_core.defvjp(_onepass_core_fwd, _onepass_core_bwd)
+
+# VMEM budget for the one-pass kernel: s [BQ, M] f32 + double-buffered K/V
+# bf16 + q/o blocks must stay well under ~16MB (CLAUDE.md hardware note).
+ONEPASS_MAX_KV = 4096
+
+
+def onepass_supported(n: int, m: int, dh: int) -> bool:
+    m_pad = max(128, ((m + 127) // 128) * 128)
+    return m_pad <= ONEPASS_MAX_KV and dh <= 128
+
+
+def _onepass_block_q(m_pad: int, n_pad: int) -> int:
+    # budget ~6MB for the [BQ, M] f32 logits scratch; smaller M -> bigger
+    # q-blocks so per-program overheads amortise (measured on v5e:
+    # cross-attention at M=384 wants BQ=4096; self-attention at M=4096 runs
+    # best at BQ=256). Power-of-two BQ so it divides the usual token counts.
+    budget = 6 * 1024 * 1024 // (4 * m_pad)
+    bq = 128
+    while bq * 2 <= min(budget, 4096):
+        bq *= 2
+    return min(bq, n_pad)
+
+
+def onepass_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray] = None,
+    block_q: Optional[int] = None,
+) -> jnp.ndarray:
+    """One-pass (full-row softmax) attention over [B, N, H, Dh].
+
+    For key counts whose K/V fit VMEM (<= ONEPASS_MAX_KV after padding):
+    exact row max, a single exp sweep, denominator free via V's spare padded
+    lane, and logits never written to HBM. key_mask [B, M] rides K's spare
+    lane exactly like `flash_attention`. fp32 softmax always.
+    """
+    B, N, H, Dh = q.shape
+    M = k.shape[1]
+    d_pad = max(128, ((Dh + 127) // 128) * 128)
+    assert Dh < d_pad, "onepass kernel needs a spare padded lane (Dh < 128k)"
+    m_pad = max(128, ((M + 127) // 128) * 128)
+    n128 = max(128, ((N + 127) // 128) * 128)
+    bq = block_q or _onepass_block_q(m_pad, n128)
+    bq = min(bq, n128)
+    n_pad = ((N + bq - 1) // bq) * bq
+
+    # scale + log2e folded into q; all layout ops below are elementwise/pad/
+    # transpose chains that XLA fuses into single passes (no .at[].set
+    # rewrites — the key mask travels as a tiny separate [B, M_pad] input)
+    q = q * jnp.asarray(Dh**-0.5 * _LOG2E, q.dtype)
+
+    def to_bh(x, seq_pad, d_target):
+        x = x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], Dh)
+        if seq_pad != x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, seq_pad - x.shape[1]), (0, 0)))
+        return _pad_heads(x, d_target)
+
+    q_bh = to_bh(q, n_pad, d_pad)
+    k_bh = to_bh(k, m_pad, d_pad)
+    # denominator rides V's spare lane through the PV matmul: pad to
+    # d_pad - 1 with zeros, then concat a ones lane (fuses with the pad)
+    v_bh = to_bh(v, m_pad, d_pad - 1)
+    v_bh = jnp.concatenate(
+        [v_bh, jnp.ones((*v_bh.shape[:2], 1), v_bh.dtype)], axis=-1
+    )
+    kv_len = M
+    madd = None
+    if key_mask is not None:
+        madd = jnp.where(key_mask.astype(bool), 0.0, _NEG_INF).astype(
+            jnp.float32
+        )
+        madd = jnp.pad(madd, ((0, 0), (0, m_pad - M)), constant_values=_NEG_INF)
+        madd = jnp.broadcast_to(madd[:, None, :], (B, 8, m_pad))
+        kv_len = m_pad  # padded tail already masked via madd
+
+    out = _onepass_core(q_bh, k_bh, v_bh, madd, bq, kv_len, H)
+    out = out[:, :N, :Dh].reshape(B, H, N, Dh).transpose(0, 2, 1, 3)
+    return out
+
+
 def supported(n: int, m: int, block_q: int = DEFAULT_BLOCK_Q,
               block_k: int = DEFAULT_BLOCK_K) -> bool:
     # arbitrary n/m supported via padding + tail masking; just needs real dims
@@ -356,9 +593,9 @@ def flash_attention(
     d_pad = max(128, ((Dh + 127) // 128) * 128)
     if key_mask is not None:
         assert Dh < d_pad, "key_mask needs a spare padded lane (Dh < 128k)"
-    # fold the softmax scale (by the TRUE head dim) into q once, instead of
-    # rescaling every [BQ, BK] logit tile on the VPU inside the kernel
-    q = q * jnp.asarray(Dh**-0.5, q.dtype)
+    # fold the softmax scale (by the TRUE head dim) and log2(e) into q once,
+    # instead of rescaling every [BQ, BK] logit tile on the VPU in-kernel
+    q = q * jnp.asarray(Dh**-0.5 * _LOG2E, q.dtype)
 
     def to_bh(x, seq_pad):
         x = x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], Dh)

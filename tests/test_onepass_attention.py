@@ -1,0 +1,155 @@
+"""One-pass (full-row softmax) attention kernel parity vs the XLA path.
+
+Runs in Pallas interpret mode on CPU (the same kernel compiles with Mosaic
+on real TPU; bench.py exercises that). The one-pass kernel serves the
+production token counts (<= 4k keys): 1024px self-attention, all
+kv-compressed layers, and 300-token caption cross-attention.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from pixart_sigma_tpu.ops.attention import attention
+from pixart_sigma_tpu.ops.flash_attention import (
+    onepass_attention,
+    onepass_supported,
+)
+
+
+@pytest.mark.parametrize(
+    "B,N,M,H,Dh",
+    [
+        (1, 256, 256, 2, 72),   # padded head dim (PixArt's 72)
+        (2, 256, 128, 2, 64),   # kv shorter than q (KV compression)
+        (1, 512, 512, 1, 96),
+        (1, 384, 300, 2, 72),   # unaligned kv length (caption tail mask)
+    ],
+)
+def test_onepass_forward_matches_xla(B, N, M, H, Dh):
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    want = attention(q, k, v, impl="xla", fp32_softmax=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = onepass_attention(q, k, v, block_q=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_onepass_grads_match_xla():
+    rng = np.random.RandomState(1)
+    B, N, M, H, Dh = 1, 256, 256, 2, 72
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    tangent = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention(q, k, v, impl="xla", fp32_softmax=True) * tangent)
+
+    def loss_onepass(q, k, v):
+        return jnp.sum(onepass_attention(q, k, v, block_q=128) * tangent)
+
+    want = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_onepass, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-4, err_msg=name
+        )
+
+
+def test_onepass_bf16_inputs():
+    rng = np.random.RandomState(2)
+    B, N, H, Dh = 1, 256, 2, 72
+    q = jnp.asarray(rng.randn(B, N, H, Dh), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(B, N, H, Dh), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(B, N, H, Dh), jnp.bfloat16)
+    want = attention(q, k, v, impl="xla", fp32_softmax=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = onepass_attention(q, k, v, block_q=128)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+@pytest.mark.parametrize("N,M", [(300, 300), (450, 200), (1000, 250)])
+def test_onepass_arbitrary_lengths(N, M):
+    rng = np.random.RandomState(3)
+    B, H, Dh = 1, 2, 72
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    want = attention(q, k, v, impl="xla", fp32_softmax=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = onepass_attention(q, k, v, block_q=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_onepass_key_mask_matches_xla():
+    """Masked cross-attention: mask on K's spare lane, denom on V's."""
+    rng = np.random.RandomState(5)
+    B, N, M, H, Dh = 2, 256, 300, 2, 72
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    key_mask = np.ones((B, M), bool)
+    key_mask[0, 120:] = False
+    key_mask[1, 7:] = False
+    km = jnp.asarray(key_mask)
+    want = attention(q, k, v, key_mask=km, impl="xla", fp32_softmax=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = onepass_attention(q, k, v, key_mask=km, block_q=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_onepass_key_mask_grads_match_xla():
+    rng = np.random.RandomState(6)
+    B, N, M, H, Dh = 1, 128, 200, 2, 72
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    km = jnp.asarray(np.arange(M)[None] < 150)
+    tangent = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention(q, k, v, key_mask=km, impl="xla",
+                                 fp32_softmax=True) * tangent)
+
+    def loss_onepass(q, k, v):
+        return jnp.sum(
+            onepass_attention(q, k, v, key_mask=km, block_q=128) * tangent
+        )
+
+    want = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_onepass, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-4, err_msg=name
+        )
+
+
+def test_onepass_supported_bounds():
+    assert onepass_supported(4096, 4096, 72)
+    assert onepass_supported(16384, 4096, 72)   # 2K-px kv-compressed layers
+    assert onepass_supported(4096, 300, 72)     # caption cross-attention
+    assert not onepass_supported(16384, 16384, 72)  # 2K-px full layers
+
+
+def test_dispatch_explicit_impl():
+    """attention(impl='onepass') routes through the kernel on any backend."""
+    rng = np.random.RandomState(7)
+    B, N, H, Dh = 1, 256, 2, 72
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    want = attention(q, k, v, impl="xla", fp32_softmax=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = attention(q, k, v, impl="onepass")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
