@@ -449,6 +449,216 @@ class DPMSolver:
             outer = full[np.cumsum([0] + orders)]
         return outer, orders
 
+    # ------------------------------------------------------- adaptive step
+    def _device_schedule(self):
+        """jnp (traced-time) marginal fns for data-dependent timesteps."""
+        ns = self.ns
+        dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        if ns.schedule == "discrete":
+            t_tab = jnp.asarray(ns.t_array, dt)
+            la_tab = jnp.asarray(ns.log_alpha_array, dt)
+
+            def log_alpha(t):
+                return jnp.interp(t, t_tab, la_tab)
+
+            def inverse_lambda(lam):
+                la = -0.5 * jnp.logaddexp(0.0, -2.0 * lam)
+                return jnp.interp(la, la_tab[::-1], t_tab[::-1])
+
+        else:
+            b0, b1 = ns.beta_0, ns.beta_1
+
+            def log_alpha(t):
+                return -0.25 * t**2 * (b1 - b0) - 0.5 * t * b0
+
+            def inverse_lambda(lam):
+                tmp = 2.0 * (b1 - b0) * jnp.logaddexp(-2.0 * lam, 0.0)
+                delta = b0**2 + tmp
+                return tmp / (jnp.sqrt(delta) + b0) / (b1 - b0)
+
+        def sigma(t):
+            return jnp.sqrt(1.0 - jnp.exp(2.0 * log_alpha(t)))
+
+        def lam(t):
+            la = log_alpha(t)
+            return la - 0.5 * jnp.log(1.0 - jnp.exp(2.0 * la))
+
+        return log_alpha, sigma, lam, inverse_lambda
+
+    def sample_adaptive(
+        self,
+        x: jnp.ndarray,
+        order: int = 2,
+        t_start: Optional[float] = None,
+        t_end: Optional[float] = None,
+        h_init: float = 0.05,
+        atol: float = 0.0078,
+        rtol: float = 0.05,
+        theta: float = 0.9,
+        t_err: float = 1e-5,
+        solver_type: str = "dpmsolver",
+        max_nfe: int = 1200,
+        return_nfe: bool = False,
+    ):
+        """Adaptive step-size solver. Spec: dpm_solver.py:970-1031.
+
+        TPU-native design: the reference runs a host Python `while` with one
+        device sync per step; here the WHOLE trajectory is a single
+        lax.while_loop under jit — schedule interpolation, the embedded
+        lower/higher-order error estimate, and the accept/reject update all
+        run on device with no host round-trips. `max_nfe` bounds the loop
+        (the reference can spin forever on pathological tolerances).
+        """
+        assert order in (2, 3), "adaptive solver supports order 2 or 3"
+        ns = self.ns
+        dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        t_0 = jnp.asarray((1.0 / ns.total_N) if t_end is None else t_end, dt)
+        t_T = jnp.asarray(ns.T if t_start is None else t_start, dt)
+        log_alpha, sigma, lam, inverse_lambda = self._device_schedule()
+        dpmpp = self.algorithm_type == "dpmsolver++"
+
+        def pred(xi, t):
+            """Data prediction (++) / noise prediction, traced t."""
+            t_b = jnp.broadcast_to(t, ())
+            eps = self.noise_fn(xi, t_b)
+            if not dpmpp:
+                return eps
+            x0 = (xi - sigma(t) * eps) / jnp.exp(log_alpha(t))
+            if self.correcting_x0_fn is not None:
+                x0 = self.correcting_x0_fn(x0, t)
+            return x0
+
+        def first_update(xi, s, t, model_s):
+            h = lam(t) - lam(s)
+            if dpmpp:
+                return (sigma(t) / sigma(s)) * xi - jnp.exp(
+                    log_alpha(t)
+                ) * jnp.expm1(-h) * model_s
+            return jnp.exp(log_alpha(t) - log_alpha(s)) * xi - sigma(
+                t
+            ) * jnp.expm1(h) * model_s
+
+        def second_update(xi, s, t, r1, model_s, want_s1: bool):
+            h = lam(t) - lam(s)
+            s1 = inverse_lambda(lam(s) + r1 * h)
+            if dpmpp:
+                x_s1 = (sigma(s1) / sigma(s)) * xi - jnp.exp(
+                    log_alpha(s1)
+                ) * jnp.expm1(-r1 * h) * model_s
+                model_s1 = pred(x_s1, s1)
+                a_t, phi_1 = jnp.exp(log_alpha(t)), jnp.expm1(-h)
+                if solver_type == "dpmsolver":
+                    x_t = (
+                        (sigma(t) / sigma(s)) * xi
+                        - a_t * phi_1 * model_s
+                        - (0.5 / r1) * a_t * phi_1 * (model_s1 - model_s)
+                    )
+                else:
+                    x_t = (
+                        (sigma(t) / sigma(s)) * xi
+                        - a_t * phi_1 * model_s
+                        + (1.0 / r1) * a_t * (phi_1 / h + 1.0)
+                        * (model_s1 - model_s)
+                    )
+            else:
+                x_s1 = jnp.exp(log_alpha(s1) - log_alpha(s)) * xi - sigma(
+                    s1
+                ) * jnp.expm1(r1 * h) * model_s
+                model_s1 = pred(x_s1, s1)
+                phi_1 = jnp.expm1(h)
+                if solver_type == "dpmsolver":
+                    x_t = (
+                        jnp.exp(log_alpha(t) - log_alpha(s)) * xi
+                        - sigma(t) * phi_1 * model_s
+                        - (0.5 / r1) * sigma(t) * phi_1 * (model_s1 - model_s)
+                    )
+                else:
+                    x_t = (
+                        jnp.exp(log_alpha(t) - log_alpha(s)) * xi
+                        - sigma(t) * phi_1 * model_s
+                        - (1.0 / r1) * sigma(t) * (phi_1 / h - 1.0)
+                        * (model_s1 - model_s)
+                    )
+            return (x_t, model_s1) if want_s1 else x_t
+
+        def third_update(xi, s, t, r1, r2, model_s, model_s1):
+            h = lam(t) - lam(s)
+            s2 = inverse_lambda(lam(s) + r2 * h)
+            if dpmpp:
+                phi_12 = jnp.expm1(-r2 * h)
+                phi_1 = jnp.expm1(-h)
+                phi_22 = jnp.expm1(-r2 * h) / (r2 * h) + 1.0
+                phi_2 = phi_1 / h + 1.0
+                x_s2 = (
+                    (sigma(s2) / sigma(s)) * xi
+                    - jnp.exp(log_alpha(s2)) * phi_12 * model_s
+                    + (r2 / r1) * jnp.exp(log_alpha(s2)) * phi_22
+                    * (model_s1 - model_s)
+                )
+                model_s2 = pred(x_s2, s2)
+                return (
+                    (sigma(t) / sigma(s)) * xi
+                    - jnp.exp(log_alpha(t)) * phi_1 * model_s
+                    + (1.0 / r2) * jnp.exp(log_alpha(t)) * phi_2
+                    * (model_s2 - model_s)
+                )
+            phi_12 = jnp.expm1(r2 * h)
+            phi_1 = jnp.expm1(h)
+            phi_22 = jnp.expm1(r2 * h) / (r2 * h) - 1.0
+            phi_2 = phi_1 / h - 1.0
+            x_s2 = (
+                jnp.exp(log_alpha(s2) - log_alpha(s)) * xi
+                - sigma(s2) * phi_12 * model_s
+                - (r2 / r1) * sigma(s2) * phi_22 * (model_s1 - model_s)
+            )
+            model_s2 = pred(x_s2, s2)
+            return (
+                jnp.exp(log_alpha(t) - log_alpha(s)) * xi
+                - sigma(t) * phi_1 * model_s
+                - (1.0 / r2) * sigma(t) * phi_2 * (model_s2 - model_s)
+            )
+
+        lambda_0 = lam(t_0)
+        B = x.shape[0]
+
+        def cond(carry):
+            _, _, s, _, nfe = carry
+            return jnp.logical_and(jnp.abs(s - t_0) > t_err, nfe < max_nfe)
+
+        def body(carry):
+            xi, x_prev, s, h, nfe = carry
+            t = inverse_lambda(lam(s) + h)
+            model_s = pred(xi, s)
+            if order == 2:
+                x_lower = first_update(xi, s, t, model_s)
+                x_higher = second_update(
+                    xi, s, t, 0.5, model_s, want_s1=False
+                )
+            else:
+                x_lower, model_s1 = second_update(
+                    xi, s, t, 1.0 / 3.0, model_s, want_s1=True
+                )
+                x_higher = third_update(
+                    xi, s, t, 1.0 / 3.0, 2.0 / 3.0, model_s, model_s1
+                )
+            delta = jnp.maximum(
+                atol, rtol * jnp.maximum(jnp.abs(x_lower), jnp.abs(x_prev))
+            )
+            err2 = ((x_higher - x_lower) / delta) ** 2
+            E = jnp.max(jnp.sqrt(err2.reshape(B, -1).mean(axis=-1)))
+            accept = E <= 1.0
+            xi = jnp.where(accept, x_higher, xi)
+            x_prev = jnp.where(accept, x_lower, x_prev)
+            s = jnp.where(accept, t, s)
+            h = jnp.minimum(
+                theta * h * E ** (-1.0 / order), lambda_0 - lam(s)
+            )
+            return xi, x_prev, s, h, nfe + order
+
+        carry = (x, x, t_T, jnp.asarray(h_init, dt), jnp.zeros((), jnp.int32))
+        x, _, _, _, nfe = jax.lax.while_loop(cond, body, carry)
+        return (x, nfe) if return_nfe else x
+
     # -------------------------------------------------------------- sample
     def sample(
         self,
@@ -497,10 +707,12 @@ class DPMSolver:
             if denoise_to_zero:
                 x = self.denoise_to_zero(x, float(outer[-1]))
             return x
-        if method != "multistep":
-            raise NotImplementedError(
-                f"method={method}; adaptive step-size is not implemented"
+        if method == "adaptive":
+            return self.sample_adaptive(
+                x, order=order, t_start=t_T, t_end=t_0, solver_type=solver_type
             )
+        if method != "multistep":
+            raise NotImplementedError(f"method={method}")
         assert steps >= order
         if (
             use_scan

@@ -167,3 +167,56 @@ def test_singlestep_matches_reference(order, steps):
             jnp.asarray(x0), steps=steps, order=order, method="singlestep"
         )
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_adaptive_trajectory_matches_reference(order):
+    """Adaptive step-size solver (lax.while_loop) vs the reference's host
+    python loop (dpm_solver.py:970-1031), float64 both sides so the
+    accept/reject decisions agree exactly."""
+    B, D = 2, 4
+    x0 = np.random.RandomState(7).randn(B, D).astype(np.float64)
+
+    ref = ref_schedule(dtype=torch.float64)
+
+    def ref_model(x, t_cont):
+        t_input = (t_cont - 1.0 / ref.total_N) * 1000.0
+        return torch.tanh(x @ torch.from_numpy(FAKE_W)) * (
+            1.0 + t_input.reshape(-1)[0] / 2000.0
+        )
+
+    solver_ref = ref_dpm.DPM_Solver(ref_model, ref, algorithm_type="dpmsolver++")
+    want = solver_ref.dpm_solver_adaptive(
+        torch.from_numpy(x0), order, ref.T, 1.0 / ref.total_N
+    ).numpy()
+
+    ns = NoiseScheduleVP("discrete", betas=BETAS)
+
+    def model_fn(x, t_cont):
+        t_input = (jnp.asarray(t_cont) - 1.0 / ns.total_N) * 1000.0
+        return jnp.tanh(x @ FAKE_W) * (1.0 + t_input / 2000.0)
+
+    solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
+    with jax.enable_x64(True):
+        got, nfe = jax.jit(
+            lambda x: solver.sample_adaptive(x, order=order, return_nfe=True)
+        )(jnp.asarray(x0))
+    assert int(nfe) > 0 and int(nfe) % order == 0
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_adaptive_via_sample_method():
+    """sample(method='adaptive') routes to the while_loop solver (f32)."""
+    B, D = 2, 4
+    x0 = jnp.asarray(np.random.RandomState(8).randn(B, D).astype(np.float32))
+    ns = NoiseScheduleVP("discrete", betas=BETAS)
+
+    def model_fn(x, t_cont):
+        t_input = (jnp.asarray(t_cont, jnp.float32) - 1.0 / ns.total_N) * 1000.0
+        return jnp.tanh(x @ FAKE_W.astype(np.float32)) * (1.0 + t_input / 2000.0)
+
+    solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
+    got = jax.jit(lambda x: solver.sample(x, order=2, method="adaptive"))(x0)
+    direct = jax.jit(lambda x: solver.sample_adaptive(x, order=2))(x0)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct), rtol=1e-6)
