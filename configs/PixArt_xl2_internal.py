@@ -40,6 +40,7 @@ scan_blocks = True  # compile depth as nn.scan groups (fast XLA compile)
 # parallelism (TPU mesh; replaces the reference's DDP/FSDP accelerate knobs)
 mesh = dict(data=-1, fsdp=1, tensor=1)
 use_fsdp = False  # shard params/opt-state over the fsdp axis
+use_tensor_parallel = False  # megatron TP on attn/MLP kernels (tensor axis)
 
 # training
 num_workers = 4

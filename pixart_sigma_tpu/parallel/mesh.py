@@ -73,20 +73,85 @@ def _fsdp_spec(shape: tuple[int, ...], fsdp_size: int, min_size: int) -> P:
     return P()
 
 
+# Megatron-style tensor-parallel rules, keyed on trailing param-path
+# components (matches both the param tree and optimizer-moment trees, whose
+# leaves mirror the param paths). Column-parallel kernels shard their OUTPUT
+# dim; row-parallel kernels shard their INPUT dim, and GSPMD emits the
+# all-reduce after them. Not in the reference (SURVEY §2.2: TP absent) —
+# this is the scaling path for >0.6B variants.
+_TP_COL = (  # shard last dim (output features); bias sharded too
+    ("attn", "qkv", "kernel"),
+    ("attn", "qkv", "bias"),
+    ("cross_attn", "q_linear", "kernel"),
+    ("cross_attn", "q_linear", "bias"),
+    ("cross_attn", "kv_linear", "kernel"),
+    ("cross_attn", "kv_linear", "bias"),
+    ("mlp", "fc1", "kernel"),
+    ("mlp", "fc1", "bias"),
+)
+_TP_ROW = (  # shard dim -2 (input features); bias replicated
+    ("attn", "proj", "kernel"),
+    ("cross_attn", "proj", "kernel"),
+    ("mlp", "fc2", "kernel"),
+)
+
+
+def _path_names(path) -> tuple[str, ...]:
+    names = []
+    for k in path:
+        if hasattr(k, "key"):
+            names.append(str(k.key))
+        elif hasattr(k, "name"):
+            names.append(str(k.name))
+        elif hasattr(k, "idx"):
+            names.append(str(k.idx))
+        else:
+            names.append(str(k))
+    return tuple(names)
+
+
+def _tp_axis(path_names: tuple[str, ...], ndim: int):
+    """Return the dim to shard over 'tensor' for this param path, or None."""
+    for suffix in _TP_COL:
+        if path_names[-len(suffix):] == suffix:
+            return ndim - 1
+    for suffix in _TP_ROW:
+        if path_names[-len(suffix):] == suffix:
+            return ndim - 2 if ndim >= 2 else None
+    return None
+
+
 def param_sharding(
-    params, mesh: Mesh, fsdp: bool = False, min_size: int = 2**16
+    params,
+    mesh: Mesh,
+    fsdp: bool = False,
+    tensor: bool = False,
+    min_size: int = 2**16,
 ):
     """A pytree of NamedShardings for the param/optimizer tree.
 
-    fsdp=False: fully replicated (plain DP — the v1 production config; the
-    0.6B denoiser fits per chip, SURVEY.md §2.2). fsdp=True: each tensor
-    sharded on its largest fsdp-divisible axis.
+    fsdp=False, tensor=False: fully replicated (plain DP — the v1 production
+    config; the 0.6B denoiser fits per chip, SURVEY.md §2.2).
+    fsdp=True: each tensor sharded on its largest fsdp-divisible axis.
+    tensor=True: megatron TP on attention/MLP kernels (column/row rules
+    above); composes with fsdp, which then takes the largest REMAINING axis.
     """
     fsdp_size = mesh.shape["fsdp"]
+    tp_size = mesh.shape["tensor"]
 
-    def spec_for(leaf):
-        if not fsdp:
-            return NamedSharding(mesh, P())
-        return NamedSharding(mesh, _fsdp_spec(tuple(leaf.shape), fsdp_size, min_size))
+    def spec_for(path, leaf):
+        shape = tuple(leaf.shape)
+        spec = [None] * len(shape)
+        if tensor and tp_size > 1 and shape:
+            axis = _tp_axis(_path_names(path), len(shape))
+            if axis is not None and shape[axis] % tp_size == 0:
+                spec[axis] = "tensor"
+        if fsdp and fsdp_size > 1 and shape and int(np.prod(shape)) >= min_size:
+            order = sorted(range(len(shape)), key=lambda i: -shape[i])
+            for ax in order:
+                if spec[ax] is None and shape[ax] % fsdp_size == 0:
+                    spec[ax] = "fsdp"
+                    break
+        return NamedSharding(mesh, P(*spec))
 
-    return jax.tree_util.tree_map(spec_for, params)
+    return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -28,6 +28,7 @@ def make_train_step(
     *,
     mesh: Optional[Mesh] = None,
     fsdp: bool = False,
+    tensor: bool = False,
     donate: bool = True,
     schedule_sampler=None,
 ) -> Callable:
@@ -106,9 +107,9 @@ def make_train_step(
     batch_shard = data_sharding(mesh)
 
     def shard_state(state_shape):
-        """Sharding tree for the TrainState (params/opt/ema follow fsdp rule)."""
+        """Sharding tree for the TrainState (params/opt/ema: fsdp/tp rules)."""
         def leaf(x):
-            return param_sharding(x, mesh, fsdp=fsdp)
+            return param_sharding(x, mesh, fsdp=fsdp, tensor=tensor)
 
         return TrainState(
             step=repl,

@@ -140,6 +140,7 @@ class Trainer:
         self.step_fn = make_train_step(
             self.model, self.diffusion, mesh=self.mesh,
             fsdp=config.get("use_fsdp", False),
+            tensor=config.get("use_tensor_parallel", False),
             schedule_sampler=self.sampler_state,
         )
         self.batch_sharding = data_sharding(self.mesh)

@@ -180,3 +180,65 @@ def test_dp_matches_single_device():
         lambda a, b: float(jnp.abs(a - b).max()), s_a.params, s_b.params
     )
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+
+def test_tp_matches_single_device():
+    """dp x fsdp x tp (2x2x2) must produce the same update as 1 device.
+
+    Exercises the megatron column/row kernel sharding rules in
+    parallel/mesh.py (qkv/fc1 output-sharded, proj/fc2 input-sharded);
+    GSPMD inserts the TP all-reduces.
+    """
+    model, batch = _tiny_model_and_batch()
+    diffusion = IDDPM(timestep_respacing=[1000], learn_sigma=True,
+                      rescale_learned_sigmas=True)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "caption_drop": jax.random.PRNGKey(1)},
+        batch["latents"], jnp.zeros((8,)), batch["y"], batch["y_mask"], train=True,
+    )["params"]
+    tx = build_optimizer(name="adamw", learning_rate=1e-3)
+    mesh = build_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    state0 = TrainState.create(params=params, tx=tx, ema=False)
+
+    sharded = make_train_step(
+        model, diffusion, mesh=mesh, fsdp=True, tensor=True, donate=False
+    )
+    plain = make_train_step(model, diffusion, mesh=None, donate=False)
+    s_a, m_a = sharded(state0, batch, jax.random.PRNGKey(7))
+    s_b, m_b = plain(state0, batch, jax.random.PRNGKey(7))
+    assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]), rel=1e-5)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_a.params, s_b.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+
+def test_tp_param_specs():
+    """TP rules hit the intended kernels and leave the rest replicated."""
+    from pixart_sigma_tpu.parallel.mesh import param_sharding
+
+    model, batch = _tiny_model_and_batch()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "caption_drop": jax.random.PRNGKey(1)},
+        batch["latents"], jnp.zeros((8,)), batch["y"], batch["y_mask"], train=True,
+    )["params"]
+    mesh = build_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    shardings = param_sharding(params, mesh, tensor=True)
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in path): s.spec
+        for path, s in jax.tree_util.tree_flatten_with_path(shardings)[0]
+    }
+    blocks = [k for k in flat if "attn/qkv/kernel" in k]
+    assert blocks, list(flat)[:5]
+    for k, spec in flat.items():
+        if any(k.endswith(s) for s in (
+            "attn/qkv/kernel", "mlp/fc1/kernel",
+            "cross_attn/q_linear/kernel", "cross_attn/kv_linear/kernel",
+        )):
+            assert spec[-1] == "tensor", (k, spec)
+        elif any(k.endswith(s) for s in (
+            "attn/proj/kernel", "cross_attn/proj/kernel", "mlp/fc2/kernel",
+        )):
+            assert spec[-2] == "tensor", (k, spec)
+        elif k.endswith("scale_shift_table") or "norm" in k:
+            assert "tensor" not in tuple(spec), (k, spec)
