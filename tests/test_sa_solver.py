@@ -88,3 +88,33 @@ def test_sa_solver_matches_reference(mode, steps, p_order, c_order, eta, monkeyp
             noise_fn=_zero_noise,
         )
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-8)
+
+
+def test_sa_scan_matches_unrolled():
+    """The lax.scan fast path (few_steps PEC order-2, the production facade
+    config) must match the unrolled path with the same rng."""
+    ns = NoiseScheduleVP("discrete", betas=named_beta_schedule("linear", 1000))
+
+    def model_fn(x, t_cont):
+        t_input = (jnp.asarray(t_cont, jnp.float32) - 1.0 / ns.total_N) * 1000.0
+        return jnp.tanh(x @ FAKE_W.astype(np.float32)) * (1.0 + t_input / 2000.0)
+
+    solver = SASolver(model_fn, ns, algorithm_type="data_prediction")
+    x0 = jnp.asarray(np.random.RandomState(11).randn(2, 4).astype(np.float32))
+    tau_fn = lambda t: 1.0 if 0.2 <= t <= 0.8 else 0.0
+    kw = dict(predictor_order=2, corrector_order=2, pc_mode="PEC",
+              skip_type="time", skip_order=1)
+    for steps in (25, 5, 3):
+        rng = jax.random.PRNGKey(3)
+        got = jax.jit(
+            lambda x: solver.sample("few_steps", x, tau_fn, steps, rng,
+                                    use_scan=True, **kw)
+        )(x0)
+        want = jax.jit(
+            lambda x: solver.sample("few_steps", x, tau_fn, steps, rng,
+                                    use_scan=False, **kw)
+        )(x0)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6,
+            err_msg=f"steps={steps}",
+        )
