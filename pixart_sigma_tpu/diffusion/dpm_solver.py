@@ -762,7 +762,10 @@ class DPMSolver:
         order: int = 2,
         skip_type: str = "time_uniform",
         lower_order_final: bool = True,
-    ) -> jnp.ndarray:
+        state_model_fn=None,
+        model_state=None,
+        refresh_mask=None,
+    ):
         """Multistep dpmsolver++ order<=2 as one lax.scan.
 
         The order-1 warmup step and the lower-order tail are folded into the
@@ -791,28 +794,46 @@ class DPMSolver:
 
         f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
         noise_fn = self.noise_fn
+        stateful = state_model_fn is not None
+        if stateful:
+            assert model_state is not None and refresh_mask is not None
+            refresh_mask = jnp.asarray(refresh_mask, bool)
+            assert refresh_mask.shape == (steps,)
 
-        def x0_pred(xi, t_cont, sig_i, alpha_i):
-            eps = noise_fn(xi, t_cont)
-            return (xi - sig_i * eps) / alpha_i
+        def x0_pred(xi, t_cont, sig_i, alpha_i, state, refresh):
+            if stateful:
+                eps, state = state_model_fn(
+                    xi, t_cont, state, jnp.logical_not(refresh)
+                )
+            else:
+                eps = noise_fn(xi, t_cont)
+            return (xi - sig_i * eps) / alpha_i, state
 
-        # initial model value at ts[0]
-        m0 = x0_pred(x, float(ts[0]), float(sig[0]), float(alpha[0]))
+        # initial model value at ts[0] (always a full/refresh evaluation)
+        m0, state = x0_pred(
+            x, float(ts[0]), float(sig[0]), float(alpha[0]), model_state,
+            jnp.asarray(True),
+        )
         m1 = m0  # placeholder; its coefficient is zero on the first step
 
         def body(carry, inp):
-            xc, m0, m1 = carry
-            sr_i, aphi_i, c1_i, sig_i, alpha_i, t_i = inp
+            xc, m0, m1, state = carry
+            sr_i, aphi_i, c1_i, sig_i, alpha_i, t_i, refresh_i = inp
             x_new = sr_i * xc - aphi_i * (m0 + c1_i * (m0 - m1))
-            m_new = x0_pred(x_new, t_i, sig_i, alpha_i)
-            return (x_new, m_new, m0), None
+            m_new, state = x0_pred(x_new, t_i, sig_i, alpha_i, state, refresh_i)
+            return (x_new, m_new, m0, state), None
 
         # steps 1..S-1 inside the scan (each needs a model call at its t_i)
+        if stateful:
+            step_refresh = refresh_mask[1:steps]
+        else:
+            step_refresh = jnp.ones((steps - 1,), bool)
         scan_in = (
             f32(sr[: steps - 1]), f32(aphi[: steps - 1]), f32(c1[: steps - 1]),
             f32(sig[1:steps]), f32(alpha[1:steps]), f32(ts[1:steps]),
+            step_refresh,
         )
-        (xc, m0, m1), _ = jax.lax.scan(body, (x, m0, m1), scan_in)
+        (xc, m0, m1, state), _ = jax.lax.scan(body, (x, m0, m1, state), scan_in)
         # final step S: update only (no model call afterwards)
         x_final = f32(sr[-1]) * xc - f32(aphi[-1]) * (
             m0 + f32(c1[-1]) * (m0 - m1)

@@ -78,6 +78,11 @@ class PixArtConfig:
     # XLA compile for the 28-layer model with identical numerics. Params are
     # stacked [n_layers_in_group, ...] under 'blocks_scan_<g>'.
     scan_blocks: bool = True
+    # Delta block caching (opt-in inference accelerator, beyond the
+    # reference; cf. Delta-DiT / block-cache papers in PAPERS.md): layers
+    # [k1, k2) form their own scan groups so their summed residual can be
+    # cached across sampler steps and reused on non-refresh steps. None = off.
+    cache_span: Optional[Tuple[int, int]] = None
 
     @property
     def out_channels(self) -> int:
@@ -93,11 +98,20 @@ class PixArtConfig:
         return 1
 
     def block_groups(self) -> list[tuple[int, int]]:
-        """Runs of consecutive layers with identical sr_ratio: [(sr, count)]."""
+        """Runs of consecutive layers with identical sr_ratio: [(sr, count)].
+
+        A configured cache_span forces group boundaries at its edges so the
+        cached middle layers form whole scan groups.
+        """
+        splits = set()
+        if self.cache_span is not None:
+            k1, k2 = self.cache_span
+            assert 0 <= k1 < k2 <= self.depth, self.cache_span
+            splits = {k1, k2}
         groups: list[tuple[int, int]] = []
         for i in range(self.depth):
             sr = self.sr_ratio(i)
-            if groups and groups[-1][0] == sr:
+            if groups and groups[-1][0] == sr and i not in splits:
                 groups[-1] = (sr, groups[-1][1] + 1)
             else:
                 groups.append((sr, 1))
@@ -120,7 +134,9 @@ class PixArt(nn.Module):
         aspect_ratio: Optional[jnp.ndarray] = None,  # [B, 1]
         train: bool = False,
         force_drop_ids: Optional[jnp.ndarray] = None,
-    ) -> jnp.ndarray:
+        block_cache: Optional[jnp.ndarray] = None,  # [B, N, D] cached delta
+        use_block_cache: Optional[jnp.ndarray] = None,  # traced bool
+    ):
         cfg = self.cfg
         B, H, W, C = x.shape
         p = cfg.patch_size
@@ -190,10 +206,14 @@ class PixArt(nn.Module):
                 dtype=dtype,
             )
 
+        # build the block modules (scan groups or unrolled) with their start
+        # layer indices, so a cache_span can address a contiguous layer range
+        mods: list = []
         if cfg.scan_blocks:
             body = _ScanPixArtBlock
             if cfg.grad_checkpointing:
                 body = nn.remat(body, prevent_cse=False)
+            start = 0
             for g, (sr, count) in enumerate(cfg.block_groups()):
                 scanned = nn.scan(
                     body,
@@ -202,17 +222,52 @@ class PixArt(nn.Module):
                     in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                     length=count,
                 )
-                x, _ = scanned(**block_kwargs(sr), name=f"blocks_scan_{g}")(
-                    x, y, t0, y_mask
-                )
+                mod = scanned(**block_kwargs(sr), name=f"blocks_scan_{g}")
+                mods.append((start, mod, True))
+                start += count
         else:
             block_cls = PixArtBlock
             if cfg.grad_checkpointing:
                 block_cls = nn.remat(PixArtBlock, prevent_cse=False)
             for i in range(cfg.depth):
-                x = block_cls(
+                mod = block_cls(
                     **block_kwargs(cfg.sr_ratio(i)), name=f"blocks_{i}"
-                )(x, y, t0, y_mask)
+                )
+                mods.append((i, mod, False))
+
+        def run_range(h, lo, hi):
+            for s, mod, is_scan in mods:
+                if lo <= s < hi:
+                    if is_scan:
+                        h, _ = mod(h, y, t0, y_mask)
+                    else:
+                        h = mod(h, y, t0, y_mask)
+            return h
+
+        new_cache = None
+        if cfg.cache_span is None:
+            x = run_range(x, 0, cfg.depth)
+        else:
+            k1, k2 = cfg.cache_span
+            x = run_range(x, 0, k1)
+            if block_cache is None or self.is_initializing():
+                mid_in = x
+                x = run_range(x, k1, k2)
+                new_cache = x - mid_in
+            else:
+                assert use_block_cache is not None
+
+                def reuse(mdl, h):
+                    return h + block_cache.astype(h.dtype), block_cache
+
+                def compute(mdl, h):
+                    out = run_range(h, k1, k2)
+                    return out, (out - h).astype(block_cache.dtype)
+
+                x, new_cache = nn.cond(
+                    jnp.asarray(use_block_cache, bool), reuse, compute, self, x
+                )
+            x = run_range(x, k2, cfg.depth)
 
         x = T2IFinalLayer(
             hidden_size=cfg.hidden_size,
@@ -221,7 +276,10 @@ class PixArt(nn.Module):
             dtype=dtype,
             name="final_layer",
         )(x, t)
-        return self.unpatchify(x, h, w).astype(jnp.float32)
+        out = self.unpatchify(x, h, w).astype(jnp.float32)
+        if block_cache is not None:
+            return out, new_cache
+        return out
 
     def unpatchify(self, x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
         """[B, h*w, p*p*C] -> [B, h*p, w*p, C] (token vector order (p, q, c))."""
