@@ -35,6 +35,12 @@ def parse_args():
     p.add_argument("--cfg-scale", type=float, default=4.5)
     p.add_argument("--bs", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--block-cache-interval", type=int, default=0,
+                   help=">=2 enables delta block caching (turbo; dpm-solver "
+                        "only): middle-layer residuals refresh every N NFE. "
+                        "~+33%% img/s at N=2 for a small quality cost")
+    p.add_argument("--cache-span", type=str, default="7:21",
+                   help="k1:k2 layer span cached by --block-cache-interval")
     return p.parse_args()
 
 
@@ -62,11 +68,16 @@ def main():
         model = build_model_from_config(config)
     else:
         max_len = 300 if args.version == "sigma" else 120
+        extra = {}
+        if args.block_cache_interval >= 2:
+            k1, k2 = (int(v) for v in args.cache_span.split(":"))
+            extra["cache_span"] = (k1, k2)
         model = PixArtMS_XL_2(
             input_size=args.image_size // 8,
             pe_interpolation=PE_INTERP[args.image_size],
             model_max_length=max_len,
             micro_condition=(args.version == "alpha" and args.image_size == 1024),
+            **extra,
         )
 
     params = {"params": ckpt_io.load_checkpoint(args.model_path, model.cfg)}
@@ -115,6 +126,7 @@ def main():
             sampler=args.sampling_algo,
             seed=args.seed + idx,
             return_latents=(vae is None),
+            block_cache_interval=args.block_cache_interval,
         )
         for j, img in enumerate(images):
             name = f"{idx + j:05d}_{args.sampling_algo}_{steps}.jpg"
