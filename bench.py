@@ -36,7 +36,7 @@ def main() -> None:
     from pixart_sigma_tpu.diffusion.schedules import named_beta_schedule
     from pixart_sigma_tpu.models.pixart import PixArt, PixArtConfig
 
-    BATCH = 8
+    BATCH = 12  # swept 8/12/16 with the one-pass kernel: 12 is the optimum
     STEPS = 20
     H = W = 128  # 1024px / 8
 

@@ -23,15 +23,20 @@ def _zero_noise(rng, shape, dtype=jnp.float32):
 
 
 @pytest.mark.parametrize(
-    "mode,steps,p_order,c_order,eta",
+    "mode,steps,p_order,c_order,eta,pc_mode",
     [
-        ("few_steps", 8, 2, 2, 0.0),
-        ("few_steps", 8, 2, 2, 1.0),
-        ("few_steps", 10, 3, 4, 0.7),
-        ("more_steps", 10, 2, 2, 1.0),
+        ("few_steps", 8, 2, 2, 0.0, "PEC"),
+        ("few_steps", 8, 2, 2, 1.0, "PEC"),
+        ("few_steps", 10, 3, 4, 0.7, "PEC"),
+        ("more_steps", 10, 2, 2, 1.0, "PEC"),
+        ("few_steps", 8, 2, 2, 1.0, "PECE"),
+        ("few_steps", 10, 3, 4, 0.7, "PECE"),
+        ("more_steps", 10, 2, 2, 1.0, "PECE"),
+        ("more_steps", 12, 3, 4, 0.5, "PECE"),
     ],
 )
-def test_sa_solver_matches_reference(mode, steps, p_order, c_order, eta, monkeypatch):
+def test_sa_solver_matches_reference(mode, steps, p_order, c_order, eta,
+                                     pc_mode, monkeypatch):
     B, D = 2, 4
     x0 = np.random.RandomState(6).randn(B, D).astype(np.float64)
     tau_fn = lambda t: eta if 0.2 <= t <= 0.8 else 0.0
@@ -62,7 +67,7 @@ def test_sa_solver_matches_reference(mode, steps, p_order, c_order, eta, monkeyp
         skip_order=1,
         predictor_order=p_order,
         corrector_order=c_order,
-        pc_mode="PEC",
+        pc_mode=pc_mode,
     ).numpy()
 
     # ---- ours (float64 via enable_x64, zero noise) ----
@@ -84,7 +89,7 @@ def test_sa_solver_matches_reference(mode, steps, p_order, c_order, eta, monkeyp
             skip_order=1,
             predictor_order=p_order,
             corrector_order=c_order,
-            pc_mode="PEC",
+            pc_mode=pc_mode,
             noise_fn=_zero_noise,
         )
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-8)
