@@ -434,7 +434,11 @@ def _flash_core_fwd(q, k, v, scale, block_q, block_k, kv_len):
 
 
 def _flash_core_bwd(scale, block_q, block_k, kv_len, res, g):
-    return _flash_bwd(res, g, scale, block_q, block_k, kv_len)
+    # the backward kernels keep [BQ, BK] f32 s/p/ds tiles plus dk/dv
+    # accumulators live at once — clamp to 512 tiles regardless of the
+    # (possibly larger) forward tiles to stay inside VMEM
+    return _flash_bwd(res, g, scale, min(block_q, 512), min(block_k, 512),
+                      kv_len)
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -568,8 +572,8 @@ def flash_attention(
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
     key_mask: Optional[jnp.ndarray] = None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
 ) -> jnp.ndarray:
     """Flash attention over [B, N, H, Dh] (+[B, M, H, Dh] kv).
 
@@ -585,6 +589,12 @@ def flash_attention(
     assert bias is None, "flash kernel: dense bias not implemented; use impl='xla'"
     B, N, H, Dh = q.shape
     M = k.shape[1]
+    if block_q is None:
+        # v5e measurement at 16k tokens: per-grid-step overhead dominates at
+        # 512 tiles (39.3 ms) — 1024x2048 tiles run 2.3x faster (17.0 ms)
+        block_q = 1024 if M >= 8192 else DEFAULT_BLOCK_Q
+    if block_k is None:
+        block_k = 2048 if M >= 8192 else DEFAULT_BLOCK_K
     bq = min(block_q, max(128, ((N + 127) // 128) * 128))
     bk = min(block_k, max(128, ((M + 127) // 128) * 128))
     n_pad = ((N + bq - 1) // bq) * bq
