@@ -491,11 +491,11 @@ def onepass_supported(n: int, m: int, dh: int) -> bool:
 
 
 def _onepass_block_q(m_pad: int, n_pad: int) -> int:
-    # budget ~6MB for the [BQ, M] f32 logits scratch; smaller M -> bigger
-    # q-blocks so per-program overheads amortise (measured on v5e:
-    # cross-attention at M=384 wants BQ=4096; self-attention at M=4096 runs
-    # best at BQ=256). Power-of-two BQ so it divides the usual token counts.
-    budget = 6 * 1024 * 1024 // (4 * m_pad)
+    # budget ~8MB for the [BQ, M] f32 logits scratch; smaller M -> bigger
+    # q-blocks so per-grid-step overheads amortise (measured on v5e:
+    # M=4096 best at BQ=512, M=1024 at BQ=2048, M=384 at BQ=4096 — all
+    # empirically VMEM-safe). Power-of-two BQ so it divides token counts.
+    budget = 8 * 1024 * 1024 // (4 * m_pad)
     bq = 128
     while bq * 2 <= min(budget, 4096):
         bq *= 2
