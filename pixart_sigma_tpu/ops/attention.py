@@ -70,6 +70,10 @@ def attention(
     if impl == "auto":
         choice = _dispatch(q, k, key_mask) if bias is None else "xla"
 
+    if choice == "allheads":
+        from pixart_sigma_tpu.ops.flash_attention import crossattn_allheads
+
+        return crossattn_allheads(q, k, v, key_mask=key_mask)
     if choice == "onepass":
         from pixart_sigma_tpu.ops.flash_attention import onepass_attention
 
@@ -106,6 +110,11 @@ def _dispatch(q: jnp.ndarray, k: jnp.ndarray, key_mask) -> str:
         # end-to-end (bench 0.421 vs 0.407 img/s) until N is huge and the
         # XLA path's [N, M] f32 logits HBM roundtrip dominates.
         if key_mask is not None:
+            # short-key caption cross-attention: the all-heads kernel reads
+            # q / writes out in the flat [B, N, C] layout (no head transpose
+            # materialisation) — 4.7 vs 5.5 ms at N=4096/M=300 on v5e
+            if fa.allheads_supported(N, M, key_mask):
+                return "allheads"
             return "onepass" if N >= 8192 else "xla"
         return "onepass" if N >= 2048 else "xla"
     if key_mask is not None:

@@ -153,3 +153,51 @@ def test_dispatch_explicit_impl():
     with pltpu.force_tpu_interpret_mode():
         got = attention(q, k, v, impl="onepass")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_allheads_cross_matches_xla():
+    """Flat-layout all-heads cross kernel == XLA masked path."""
+    from pixart_sigma_tpu.ops.flash_attention import crossattn_allheads
+
+    rng = np.random.RandomState(8)
+    B, N, M, H, Dh = 2, 256, 300, 4, 72
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    key_mask = np.ones((B, M), bool)
+    key_mask[0, 120:] = False
+    key_mask[1, 7:] = False
+    km = jnp.asarray(key_mask)
+    want = attention(q, k, v, key_mask=km, impl="xla", fp32_softmax=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = crossattn_allheads(q, k, v, key_mask=km, block_q=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_allheads_cross_grads_match_xla():
+    from pixart_sigma_tpu.ops.flash_attention import crossattn_allheads
+
+    rng = np.random.RandomState(9)
+    B, N, M, H, Dh = 1, 200, 120, 2, 72
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    km = jnp.asarray(np.arange(M)[None] < 90)
+    tangent = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention(q, k, v, key_mask=km, impl="xla",
+                                 fp32_softmax=True) * tangent)
+
+    def loss_ah(q, k, v):
+        return jnp.sum(
+            crossattn_allheads(q, k, v, key_mask=km, block_q=128) * tangent
+        )
+
+    want = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_ah, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-4, err_msg=name
+        )
