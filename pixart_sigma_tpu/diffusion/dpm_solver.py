@@ -620,6 +620,8 @@ class DPMSolver:
 
         lambda_0 = lam(t_0)
         B = x.shape[0]
+        in_dtype = x.dtype
+        x = x.astype(dt)  # schedule scalars promote — keep the carry stable
 
         def cond(carry):
             _, _, s, _, nfe = carry
@@ -657,6 +659,7 @@ class DPMSolver:
 
         carry = (x, x, t_T, jnp.asarray(h_init, dt), jnp.zeros((), jnp.int32))
         x, _, _, _, nfe = jax.lax.while_loop(cond, body, carry)
+        x = x.astype(in_dtype)
         return (x, nfe) if return_nfe else x
 
     # -------------------------------------------------------------- sample
@@ -708,9 +711,12 @@ class DPMSolver:
                 x = self.denoise_to_zero(x, float(outer[-1]))
             return x
         if method == "adaptive":
-            return self.sample_adaptive(
+            x = self.sample_adaptive(
                 x, order=order, t_start=t_T, t_end=t_0, solver_type=solver_type
             )
+            if denoise_to_zero:  # final x0 projection (dpm_solver.py:1268)
+                x = self.denoise_to_zero(x, t_0)
+            return x
         if method != "multistep":
             raise NotImplementedError(f"method={method}")
         assert steps >= order
@@ -780,7 +786,6 @@ class DPMSolver:
         lam = ns.marginal_lambda(ts)
         sig = ns.marginal_std(ts)
         alpha = ns.marginal_alpha(ts)
-        tm = np.asarray(ns.model_input_time(ts))
 
         h = lam[1:] - lam[:-1]  # h[i-1] corresponds to step i
         sr = sig[1:] / sig[:-1]

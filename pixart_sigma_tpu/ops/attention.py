@@ -73,10 +73,12 @@ def attention(
     if choice == "allheads":
         from pixart_sigma_tpu.ops.flash_attention import crossattn_allheads
 
+        assert bias is None, "allheads kernel: dense bias unsupported; impl='xla'"
         return crossattn_allheads(q, k, v, key_mask=key_mask)
     if choice == "onepass":
         from pixart_sigma_tpu.ops.flash_attention import onepass_attention
 
+        assert bias is None, "onepass kernel: dense bias unsupported; impl='xla'"
         return onepass_attention(q, k, v, key_mask=key_mask)
     if choice == "flash":
         from pixart_sigma_tpu.ops.flash_attention import flash_attention

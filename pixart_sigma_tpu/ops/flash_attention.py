@@ -433,12 +433,20 @@ def _flash_core_fwd(q, k, v, scale, block_q, block_k, kv_len):
     return out, (q, k, v, out, lse)
 
 
+def _bwd_block(dim: int, cap: int = 512) -> int:
+    """Largest tile <= cap that DIVIDES dim (dims are 128-multiples, so 128
+    always divides); a non-dividing clamp would silently drop the tail block
+    from the pallas grid and leave those gradient rows uninitialised."""
+    return next(b for b in (cap, 384, 256, 128) if dim % b == 0)
+
+
 def _flash_core_bwd(scale, block_q, block_k, kv_len, res, g):
     # the backward kernels keep [BQ, BK] f32 s/p/ds tiles plus dk/dv
-    # accumulators live at once — clamp to 512 tiles regardless of the
+    # accumulators live at once — cap at 512 tiles regardless of the
     # (possibly larger) forward tiles to stay inside VMEM
-    return _flash_bwd(res, g, scale, min(block_q, 512), min(block_k, 512),
-                      kv_len)
+    N, M = res[0].shape[1], res[1].shape[1]
+    return _flash_bwd(res, g, scale, min(_bwd_block(N), block_q),
+                      min(_bwd_block(M), block_k), kv_len)
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -472,8 +480,8 @@ def _onepass_core_bwd(block_q, kv_len, n_heads, res, g):
         )
         q = q.at[:, :, D - 1].set(jnp.asarray(1.0, q.dtype))
     M = k.shape[1]
-    bk = next(b for b in (512, 384, 256, 128) if M % b == 0)
-    bq = min(DEFAULT_BLOCK_Q, q.shape[1])
+    bk = _bwd_block(M)
+    bq = _bwd_block(q.shape[1])
     dq, dk, dv = _flash_bwd((q, k, v, out, lse), g, 1.0, bq, bk, kv_len)
     return dq, dk, dv, None
 
@@ -487,7 +495,10 @@ ONEPASS_MAX_KV = 4096
 
 def onepass_supported(n: int, m: int, dh: int) -> bool:
     m_pad = max(128, ((m + 127) // 128) * 128)
-    return m_pad <= ONEPASS_MAX_KV and dh <= 128
+    # dh must be strictly below the padded lane width: the kernel needs a
+    # spare lane in V for the denominator (and in K for the mask)
+    d_pad = max(128, ((dh + 127) // 128) * 128)
+    return m_pad <= ONEPASS_MAX_KV and dh < d_pad
 
 
 def _onepass_block_q(m_pad: int, n_pad: int) -> int:

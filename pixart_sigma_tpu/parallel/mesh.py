@@ -79,6 +79,13 @@ def _fsdp_spec(shape: tuple[int, ...], fsdp_size: int, min_size: int) -> P:
 # dim; row-parallel kernels shard their INPUT dim, and GSPMD emits the
 # all-reduce after them. Not in the reference (SURVEY §2.2: TP absent) —
 # this is the scaling path for >0.6B variants.
+#
+# Known limitation: the fused qkv / kv_linear output dims are sharded as
+# contiguous chunks, which do not align with the q/k/v concat or head
+# boundaries — GSPMD keeps the numerics exact but inserts a resharding
+# collective after those matmuls. Head-aligned TP needs the projections
+# split into separate q/k/v kernels (checkpoint-layout change; tracked for
+# a future round, relevant only beyond 0.6B).
 _TP_COL = (  # shard last dim (output features); bias sharded too
     ("attn", "qkv", "kernel"),
     ("attn", "qkv", "bias"),

@@ -193,6 +193,11 @@ class PixArtPipeline:
 
         key = (sampler, B, h, w, num_inference_steps, float(guidance_scale),
                micro, block_cache_interval)
+        if block_cache_interval >= 2 and sampler != "dpm-solver":
+            raise ValueError(
+                "block_cache_interval requires sampler='dpm-solver' "
+                f"(got {sampler!r})"
+            )
         if sampler == "dpm-solver" and block_cache_interval >= 2:
             fn = self._cached(key, lambda: self._build_dpm_cached(
                 B, h, w, num_inference_steps, guidance_scale, micro,
@@ -268,6 +273,9 @@ class PixArtPipeline:
         def run(params, x, y, null_y, mask, img_hw, aspect):
             c_in = jnp.concatenate([null_y, y], axis=0)
 
+            # NOTE: mirrors make_cfg_model_fn's CFG batching and
+            # _apply_eps's micro-conditioning — keep the time convention
+            # ((t - 1/N) * 1000) and [uncond, cond] order in sync with them
             def state_model_fn(xi, t_cont, cache, use_cache):
                 x_in = jnp.concatenate([xi, xi], axis=0)
                 t_model = (

@@ -65,7 +65,11 @@ def main():
 
     if args.config:
         config = read_config(args.config)
-        model = build_model_from_config(config)
+        extra = {}
+        if args.block_cache_interval >= 2:
+            k1, k2 = (int(v) for v in args.cache_span.split(":"))
+            extra["cache_span"] = (k1, k2)
+        model = build_model_from_config(config, **extra)
     else:
         max_len = 300 if args.version == "sigma" else 120
         extra = {}

@@ -220,3 +220,23 @@ def test_adaptive_via_sample_method():
     direct = jax.jit(lambda x: solver.sample_adaptive(x, order=2))(x0)
     assert np.isfinite(np.asarray(got)).all()
     np.testing.assert_allclose(np.asarray(got), np.asarray(direct), rtol=1e-6)
+
+
+def test_adaptive_bf16_carry():
+    """Regression: the while_loop carry must stay dtype-stable for bf16 x."""
+    B, D = 2, 4
+    x0 = jnp.asarray(
+        np.random.RandomState(9).randn(B, D).astype(np.float32), jnp.bfloat16
+    )
+    ns = NoiseScheduleVP("discrete", betas=BETAS)
+
+    def model_fn(x, t_cont):
+        t_input = (jnp.asarray(t_cont, jnp.float32) - 1.0 / ns.total_N) * 1000.0
+        return jnp.tanh(x.astype(jnp.float32) @ FAKE_W.astype(np.float32)) * (
+            1.0 + t_input / 2000.0
+        )
+
+    solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
+    got = jax.jit(lambda x: solver.sample_adaptive(x, order=2))(x0)
+    assert got.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(got, np.float32)).all()

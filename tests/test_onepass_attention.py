@@ -201,3 +201,29 @@ def test_allheads_cross_grads_match_xla():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-4, err_msg=name
         )
+
+
+def test_onepass_grads_unaligned_n():
+    """Regression: bwd tiles must DIVIDE the padded N (a bare clamp dropped
+    the tail q-block, leaving NaN dq rows at e.g. N=640)."""
+    rng = np.random.RandomState(10)
+    B, N, M, H, Dh = 1, 640, 256, 2, 72
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    tangent = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention(q, k, v, impl="xla", fp32_softmax=True) * tangent)
+
+    def loss_onepass(q, k, v):
+        return jnp.sum(onepass_attention(q, k, v, block_q=128) * tangent)
+
+    want = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_onepass, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        assert np.isfinite(np.asarray(g)).all(), name
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=3e-4, atol=3e-4, err_msg=name
+        )
