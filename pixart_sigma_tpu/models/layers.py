@@ -419,3 +419,179 @@ class PixArtBlock(nn.Module):
             name="mlp",
         )(t2i_modulate(norm2, shift_mlp, scale_mlp))
         return x
+
+
+def modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray):
+    """Classic DiT adaLN modulation with [B, D] shift/scale broadcast over
+    tokens (PixArt_blocks.py:20-21)."""
+    return x * (1 + scale[:, None]) + shift[:, None]
+
+
+class FinalLayer(nn.Module):
+    """DiT final layer with per-sample adaLN (PixArt_blocks.py:184-202).
+
+    Unlike T2IFinalLayer's shared scale_shift_table, this derives shift/scale
+    from the conditioning vector through a SiLU+Dense head.
+    """
+
+    hidden_size: int
+    patch_size: int
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        mods = nn.Dense(
+            2 * self.hidden_size, dtype=self.dtype, kernel_init=xavier,
+            name="adaLN_modulation",
+        )(nn.silu(c.astype(self.dtype)))
+        shift, scale = jnp.split(mods, 2, axis=-1)
+        x = nn.LayerNorm(
+            use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
+            name="norm_final",
+        )(x)
+        x = modulate(x, shift, scale)
+        return nn.Dense(
+            self.patch_size * self.patch_size * self.out_channels,
+            dtype=self.dtype, kernel_init=xavier, name="linear",
+        )(x)
+
+
+class MaskFinalLayer(nn.Module):
+    """Final layer for masked-token decoding (PixArt_blocks.py:224-239):
+    conditioning width may differ from the feature width."""
+
+    final_hidden_size: int
+    patch_size: int
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        mods = nn.Dense(
+            2 * self.final_hidden_size, dtype=self.dtype, kernel_init=xavier,
+            name="adaLN_modulation",
+        )(nn.silu(t.astype(self.dtype)))
+        shift, scale = jnp.split(mods, 2, axis=-1)
+        x = nn.LayerNorm(
+            use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
+            name="norm_final",
+        )(x)
+        x = modulate(x, shift, scale)
+        return nn.Dense(
+            self.patch_size * self.patch_size * self.out_channels,
+            dtype=self.dtype, kernel_init=xavier, name="linear",
+        )(x)
+
+
+class DecoderLayer(nn.Module):
+    """adaLN-modulated projection into a decoder width
+    (PixArt_blocks.py:242-257), used by MAE-style masked training heads."""
+
+    hidden_size: int
+    decoder_hidden_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        mods = nn.Dense(
+            2 * self.hidden_size, dtype=self.dtype, kernel_init=xavier,
+            name="adaLN_modulation",
+        )(nn.silu(t.astype(self.dtype)))
+        shift, scale = jnp.split(mods, 2, axis=-1)
+        x = nn.LayerNorm(
+            use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
+            name="norm_decoder",
+        )(x)
+        x = modulate(x, shift, scale)
+        return nn.Dense(
+            self.decoder_hidden_size, dtype=self.dtype, kernel_init=xavier,
+            name="linear",
+        )(x)
+
+
+class LabelEmbedder(nn.Module):
+    """Class-label embedding with CFG label dropout (PixArt_blocks.py:348-378).
+
+    Row num_classes is the learned null class used when a label is dropped
+    (rng collection 'label_drop', or forced via force_drop_ids).
+    """
+
+    num_classes: int
+    hidden_size: int
+    dropout_prob: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        labels: jnp.ndarray,  # [B] int
+        train: bool = False,
+        force_drop_ids: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        use_cfg = int(self.dropout_prob > 0)
+        table = nn.Embed(
+            self.num_classes + use_cfg, self.hidden_size,
+            embedding_init=nn.initializers.normal(stddev=0.02),
+            dtype=self.dtype, name="embedding_table",
+        )
+        if (train and self.dropout_prob > 0) or force_drop_ids is not None:
+            if force_drop_ids is None:
+                rng = self.make_rng("label_drop")
+                drop = jax.random.uniform(rng, labels.shape) < self.dropout_prob
+            else:
+                drop = force_drop_ids == 1
+            labels = jnp.where(drop, self.num_classes, labels)
+        return table(labels)
+
+
+class CaptionEmbedderDoubleBr(nn.Module):
+    """Double-branch caption embedder (PixArt_blocks.py:410-441): a global
+    (token-mean) projected embedding plus the per-token caption, each with its
+    own learned null replaced under CFG dropout."""
+
+    in_channels: int
+    hidden_size: int
+    uncond_prob: float = 0.1
+    token_num: int = 120
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        caption: jnp.ndarray,  # [B, 1, L, in_channels] or [B, L, in_channels]
+        train: bool = False,
+        force_drop_ids: Optional[jnp.ndarray] = None,
+    ):
+        if caption.ndim == 3:
+            caption = caption[:, None]
+        init10 = nn.initializers.normal(stddev=10**-0.5)
+        global_null = self.param("embedding", init10, (1, self.in_channels))
+        y_embedding = self.param(
+            "y_embedding", init10, (self.token_num, self.in_channels)
+        )
+        global_caption = caption.mean(axis=2).reshape(caption.shape[0], -1)
+        if (train and self.uncond_prob > 0) or force_drop_ids is not None:
+            if force_drop_ids is None:
+                rng = self.make_rng("caption_drop")
+                drop = (
+                    jax.random.uniform(rng, (caption.shape[0],)) < self.uncond_prob
+                )
+            else:
+                drop = force_drop_ids == 1
+            global_caption = jnp.where(
+                drop[:, None], global_null.astype(global_caption.dtype),
+                global_caption,
+            )
+            caption = jnp.where(
+                drop[:, None, None, None], y_embedding.astype(caption.dtype),
+                caption,
+            )
+        y_embed = Mlp(
+            hidden_features=self.hidden_size,
+            out_features=self.hidden_size,
+            dtype=self.dtype,
+            kernel_init=normal02,
+            name="proj",
+        )(global_caption.astype(self.dtype))
+        return y_embed, caption

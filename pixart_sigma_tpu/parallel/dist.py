@@ -68,3 +68,34 @@ def sync_global_devices(tag: str = "barrier") -> None:
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(tag)
+
+
+def all_gather_tensor(x: Any, axis_name: str, *, tiled: bool = True) -> Any:
+    """Differentiable all-gather over a mesh axis (inside shard_map/pjit).
+
+    The reference needs a custom autograd.Function (dist_utils.GatherLayer
+    :224-247) to backprop through torch.distributed.all_gather; in JAX
+    lax.all_gather is natively differentiable (its transpose is
+    psum_scatter), so this is a thin alias kept for API parity.
+    """
+    return jax.lax.all_gather(x, axis_name, tiled=tiled)
+
+
+def reduce_dict(d: dict, axis_name: str, average: bool = True) -> dict:
+    """Mean/sum a dict of arrays across a mesh axis inside a pjit/shard_map
+    region (reference: dist_utils.reduce_dict :131-157, an all-reduce over
+    stacked values)."""
+    op = jax.lax.pmean if average else jax.lax.psum
+    return {k: op(v, axis_name) for k, v in d.items()}
+
+
+def gather_cpu(obj: Any) -> list:
+    """Gather a host-side python object from every process to all processes
+    (reference: dist_utils.all_gather / all_gather_cpu :85-128,168-192 —
+    pickle/file based; here jax.multihost_utils handles serialisation)."""
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(obj)
+    return list(gathered)

@@ -128,6 +128,7 @@ class PixArtPipeline:
         y_null: Optional[jnp.ndarray] = None,
         return_latents: bool = False,
         block_cache_interval: int = 0,  # >=2: delta block caching (turbo)
+        block_cache_threshold: Optional[float] = None,  # adaptive (TeaCache-style)
     ) -> np.ndarray:
         """Generate images. Prompts may carry --ar h:w / --hw h:w flags.
 
@@ -135,7 +136,17 @@ class PixArtPipeline:
         for the dpm-solver sampler (model must be built with
         cache_span=(k1, k2)): the middle layers' residual is refreshed every
         N NFE and reused in between — ~(k2-k1)/depth fewer block FLOPs on
-        cached steps at a small quality cost. 0/1 = exact (off)."""
+        cached steps at a small quality cost. 0/1 = exact (off).
+
+        block_cache_threshold instead refreshes ADAPTIVELY (TeaCache-style,
+        PAPERS.md): each NFE accumulates the relative L1 change of the latent
+        input; the cached residual is reused while the accumulated drift
+        stays under the threshold and recomputed (drift reset) once it
+        crosses it. More refreshes early/late in the trajectory where the
+        latent moves fast, fewer in the smooth middle — better
+        quality-per-NFE than a fixed interval. Typical values 0.05-0.3;
+        first and last steps always refresh. Overrides
+        block_cache_interval."""
         if isinstance(prompts, str):
             prompts = [prompts]
         B = len(prompts)
@@ -192,16 +203,20 @@ class PixArtPipeline:
         mask_full = self._shard(mask_full)
 
         key = (sampler, B, h, w, num_inference_steps, float(guidance_scale),
-               micro, block_cache_interval)
-        if block_cache_interval >= 2 and sampler != "dpm-solver":
+               micro, block_cache_interval,
+               None if block_cache_threshold is None
+               else float(block_cache_threshold))
+        cache_on = block_cache_interval >= 2 or block_cache_threshold is not None
+        if cache_on and sampler != "dpm-solver":
             raise ValueError(
-                "block_cache_interval requires sampler='dpm-solver' "
+                "block caching requires sampler='dpm-solver' "
                 f"(got {sampler!r})"
             )
-        if sampler == "dpm-solver" and block_cache_interval >= 2:
+        if sampler == "dpm-solver" and cache_on:
             fn = self._cached(key, lambda: self._build_dpm_cached(
                 B, h, w, num_inference_steps, guidance_scale, micro,
-                block_cache_interval))
+                block_cache_interval,
+                adaptive_threshold=block_cache_threshold))
             latents = fn(self.params, x, y, null_y, mask_full, img_hw, aspect)
         elif sampler == "dpm-solver":
             fn = self._cached(key, lambda: self._build_dpm(
@@ -256,19 +271,34 @@ class PixArtPipeline:
 
         return jax.jit(run)
 
-    def _build_dpm_cached(self, B, h, w, steps, cfg_scale, micro, interval):
+    def _build_dpm_cached(self, B, h, w, steps, cfg_scale, micro, interval,
+                          adaptive_threshold=None):
         """DPM-Solver++ with delta block caching (opt-in turbo mode).
 
         Requires model.cfg.cache_span=(k1, k2). The cached middle-layer
         residual rides the sampler scan carry; steps refresh it every
         `interval` NFE and reuse it otherwise (Delta-DiT-style, beyond the
         reference). interval=1 reproduces the exact uncached trajectory.
+
+        adaptive_threshold switches the refresh policy to a TeaCache-style
+        drift indicator: per NFE, accumulate mean|x_t - x_prev| / mean|x_prev|
+        (the latent's relative L1 step); reuse the cache while the
+        accumulated drift since the last refresh is under the threshold,
+        otherwise recompute and reset. The decision is a traced scalar, so
+        the whole trajectory stays one compiled scan with both branches
+        resident (nn.cond); first/last steps always refresh.
         """
         cfg = self.model.cfg
         assert cfg.cache_span is not None, "model needs cache_span for turbo"
         ns = self.ns
         n_tokens = (h // cfg.patch_size) * (w // cfg.patch_size)
-        refresh = np.asarray([i % interval == 0 for i in range(steps)])
+        adaptive = adaptive_threshold is not None
+        if adaptive:
+            # static mask marks forced refreshes; drift decides the rest
+            refresh = np.zeros(steps, bool)
+            refresh[0] = refresh[-1] = True
+        else:
+            refresh = np.asarray([i % interval == 0 for i in range(steps)])
 
         def run(params, x, y, null_y, mask, img_hw, aspect):
             c_in = jnp.concatenate([null_y, y], axis=0)
@@ -276,7 +306,19 @@ class PixArtPipeline:
             # NOTE: mirrors make_cfg_model_fn's CFG batching and
             # _apply_eps's micro-conditioning — keep the time convention
             # ((t - 1/N) * 1000) and [uncond, cond] order in sync with them
-            def state_model_fn(xi, t_cont, cache, use_cache):
+            def state_model_fn(xi, t_cont, state, use_cache):
+                if adaptive:
+                    cache, x_prev, drift = state
+                    rel = jnp.mean(jnp.abs(xi - x_prev)) / (
+                        jnp.mean(jnp.abs(x_prev)) + 1e-8
+                    )
+                    drift = drift + rel
+                    use_cache = jnp.logical_and(
+                        use_cache, drift < adaptive_threshold
+                    )
+                    drift = jnp.where(use_cache, drift, 0.0)
+                else:
+                    cache = state
                 x_in = jnp.concatenate([xi, xi], axis=0)
                 t_model = (
                     (jnp.asarray(t_cont, jnp.float32) - 1.0 / ns.total_N)
@@ -296,9 +338,14 @@ class PixArtPipeline:
                 )
                 eps = out[..., :4]
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
-                return eps_u + cfg_scale * (eps_c - eps_u), cache
+                guided = eps_u + cfg_scale * (eps_c - eps_u)
+                if adaptive:
+                    return guided, (cache, xi, drift)
+                return guided, cache
 
             cache0 = jnp.zeros((2 * B, n_tokens, cfg.hidden_size), cfg.dtype)
+            if adaptive:
+                cache0 = (cache0, jnp.zeros_like(x), jnp.asarray(0.0))
             solver = DPMSolver(
                 lambda *_: None, self.ns, algorithm_type="dpmsolver++"
             )

@@ -376,3 +376,47 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     if not steps:
         return None
     return os.path.join(os.path.abspath(ckpt_dir), f"step_{max(steps)}")
+
+
+# --------------------------------------------------------------------------
+# Pretrained checkpoint resolution (reference: tools/download.py:16-47)
+# --------------------------------------------------------------------------
+
+PRETRAINED_MODELS = (
+    "PixArt-Sigma-XL-2-256x256.pth",
+    "PixArt-Sigma-XL-2-512-MS.pth",
+    "PixArt-Sigma-XL-2-1024-MS.pth",
+    "PixArt-Sigma-XL-2-2K-MS.pth",
+)
+_HF_REPO = "PixArt-alpha/PixArt-Sigma"
+
+
+def find_model(model_name: str, cache_dir: Optional[str] = None) -> Dict[str, np.ndarray]:
+    """Resolve a released checkpoint name or local path to a state dict.
+
+    Reference semantics (tools/download.py:22-29): known names are fetched
+    from the PixArt-alpha/PixArt-Sigma HF repo (cached under
+    $PIXART_PRETRAINED_DIR or output/pretrained_models/); anything else must
+    be an existing local file.
+    """
+    if model_name in PRETRAINED_MODELS:
+        cache_dir = cache_dir or os.environ.get(
+            "PIXART_PRETRAINED_DIR", "output/pretrained_models"
+        )
+        local = os.path.join(cache_dir, model_name)
+        if not os.path.isfile(local):
+            try:
+                from huggingface_hub import hf_hub_download
+            except ImportError as e:
+                raise FileNotFoundError(
+                    f"{model_name} not cached at {local} and huggingface_hub "
+                    "is unavailable; place the .pth there manually."
+                ) from e
+            os.makedirs(cache_dir, exist_ok=True)
+            local = hf_hub_download(
+                _HF_REPO, model_name, local_dir=cache_dir
+            )
+        return load_torch_state_dict(local)
+    if not os.path.isfile(model_name):
+        raise FileNotFoundError(f"Could not find PixArt checkpoint at {model_name}")
+    return load_torch_state_dict(model_name)

@@ -39,8 +39,12 @@ def parse_args():
                    help=">=2 enables delta block caching (turbo; dpm-solver "
                         "only): middle-layer residuals refresh every N NFE. "
                         "~+33%% img/s at N=2 for a small quality cost")
+    p.add_argument("--block-cache-threshold", type=float, default=None,
+                   help="adaptive (TeaCache-style) block caching: refresh "
+                        "when accumulated latent drift crosses this "
+                        "(0.05-0.3 typical; overrides interval)")
     p.add_argument("--cache-span", type=str, default="7:21",
-                   help="k1:k2 layer span cached by --block-cache-interval")
+                   help="k1:k2 layer span cached by block caching")
     return p.parse_args()
 
 
@@ -66,14 +70,14 @@ def main():
     if args.config:
         config = read_config(args.config)
         extra = {}
-        if args.block_cache_interval >= 2:
+        if args.block_cache_interval >= 2 or args.block_cache_threshold is not None:
             k1, k2 = (int(v) for v in args.cache_span.split(":"))
             extra["cache_span"] = (k1, k2)
         model = build_model_from_config(config, **extra)
     else:
         max_len = 300 if args.version == "sigma" else 120
         extra = {}
-        if args.block_cache_interval >= 2:
+        if args.block_cache_interval >= 2 or args.block_cache_threshold is not None:
             k1, k2 = (int(v) for v in args.cache_span.split(":"))
             extra["cache_span"] = (k1, k2)
         model = PixArtMS_XL_2(
@@ -131,6 +135,7 @@ def main():
             seed=args.seed + idx,
             return_latents=(vae is None),
             block_cache_interval=args.block_cache_interval,
+            block_cache_threshold=args.block_cache_threshold,
         )
         for j, img in enumerate(images):
             name = f"{idx + j:05d}_{args.sampling_algo}_{steps}.jpg"

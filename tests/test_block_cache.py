@@ -133,3 +133,40 @@ def test_pipeline_turbo_runs_and_differs():
     assert np.isfinite(turbo).all()
     assert turbo.shape == plain.shape
     assert np.abs(turbo - plain).max() > 0  # approximation, not identity
+
+
+def test_pipeline_adaptive_threshold_zero_matches_plain():
+    """threshold=0: drift can never stay under it -> refresh every step ->
+    bit-equal to the exact trajectory (same scan program as interval=1)."""
+    pipe, y, null_y, mask = _tiny_cached_pipeline()
+    kw = dict(height=64, width=64, num_inference_steps=6,
+              sampler="dpm-solver", y=y, y_mask=mask, y_null=null_y,
+              return_latents=True)
+    plain = pipe(["a", "b"], **kw)
+    adaptive = pipe(["a", "b"], block_cache_threshold=0.0, **kw)
+    np.testing.assert_allclose(
+        np.asarray(adaptive), np.asarray(plain), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_pipeline_adaptive_runs_and_differs():
+    """A loose threshold reuses the cache on some steps: finite output that
+    deviates from (but stays close to) the exact trajectory."""
+    pipe, y, null_y, mask = _tiny_cached_pipeline()
+    kw = dict(height=64, width=64, num_inference_steps=8,
+              sampler="dpm-solver", y=y, y_mask=mask, y_null=null_y,
+              return_latents=True)
+    plain = pipe(["a", "b"], **kw)
+    turbo = pipe(["a", "b"], block_cache_threshold=10.0, **kw)
+    assert np.isfinite(turbo).all()
+    assert np.abs(turbo - plain).max() > 0
+
+
+def test_adaptive_rejected_for_other_samplers():
+    pipe, y, null_y, mask = _tiny_cached_pipeline()
+    import pytest
+
+    with pytest.raises(ValueError, match="block caching"):
+        pipe(["a", "b"], height=64, width=64, num_inference_steps=4,
+             sampler="iddpm", y=y, y_mask=mask, y_null=null_y,
+             block_cache_threshold=0.1, return_latents=True)
