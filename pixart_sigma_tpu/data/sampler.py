@@ -71,31 +71,76 @@ class AspectRatioBatchSampler:
 
 
 class BalancedAspectRatioBatchSampler(AspectRatioBatchSampler):
-    """Caps over-represented buckets so rare ratios still get sampled.
+    """Round-robin over ratio buckets so rare ratios still get sampled.
 
-    Spec :79-138: per-bucket quota proportional to bucket frequency.
+    Spec /root/reference/diffusion/utils/data_sampler.py:79-138:
+    - per-bucket acceptance is capped at the bucket's dataset frequency
+      (`ratio_nums`), i.e. quotas are frequency-proportional, not uniform;
+    - after a bucket yields a batch it moves to the exhausted list and only
+      becomes available again once every other available bucket has yielded
+      (the available/exhausted swap at :111-112 + :121-123) — a round-robin
+      rotation across buckets;
+    - the epoch is padded to len(dataset)//batch_size total batches by
+      re-drawing (with refill + reshuffle) from previously seen buckets
+      (:126-138). We use a seeded RNG where the reference uses the global one.
     """
 
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.ratio_nums = (
+            kwargs.get("ratio_nums") or getattr(self.dataset, "ratio_nums", None)
+        )
+
     def __iter__(self) -> Iterator[List[int]]:
+        rng = random.Random(self.seed + self.epoch)
         order = list(range(len(self.dataset)))
         if self.shuffle:
-            random.Random(self.seed + self.epoch).shuffle(order)
+            rng.shuffle(order)
         buckets: Dict[str, List[int]] = {k: [] for k in self.aspect_ratios}
+        originals: Dict[str, List[int]] = {k: [] for k in self.aspect_ratios}
         counts: Dict[str, int] = {k: 0 for k in self.aspect_ratios}
-        total = len(order)
         quota = {
-            k: max(1, int(total / max(1, len(self.valid_keys))))
+            k: (self.ratio_nums or {}).get(float(k), len(order))
             for k in self.aspect_ratios
         }
+        available = sorted(self.valid_keys)
+        exhausted: List[str] = []
+        total_batches = len(order) // self.batch_size
+        yielded = 0
         for idx in order:
             info = self.dataset.get_data_info(idx)
             ratio = info["height"] / info["width"]
             key = min(self.aspect_ratios.keys(), key=lambda r: abs(float(r) - ratio))
-            if key not in self.valid_keys or counts[key] >= quota[key]:
+            if key not in self.valid_keys:
                 continue
-            counts[key] += 1
+            if counts[key] < quota[key]:
+                counts[key] += 1
+                buckets[key].append(idx)
+                originals[key].append(idx)
+            if not available:
+                available, exhausted = exhausted, []
+            if key not in available:
+                continue
             bucket = buckets[key]
-            bucket.append(idx)
-            if len(bucket) == self.batch_size:
-                yield bucket[:]
-                bucket.clear()
+            if len(bucket) >= self.batch_size:
+                yield bucket[: self.batch_size]
+                del bucket[: self.batch_size]
+                yielded += 1
+                exhausted.append(key)
+                available.remove(key)
+        # pad the epoch to the expected batch count from seen buckets
+        refillable = [k for k in self.valid_keys if originals[k]]
+        for _ in range(total_batches - yielded):
+            if not refillable:
+                break
+            key = rng.choice(refillable)
+            bucket = buckets[key]
+            if len(bucket) >= self.batch_size:
+                yield bucket[: self.batch_size]
+                del bucket[: self.batch_size]
+                if not bucket:
+                    buckets[key] = originals[key][:]
+                    rng.shuffle(buckets[key])
+            else:
+                buckets[key] = originals[key][:]
+                rng.shuffle(buckets[key])

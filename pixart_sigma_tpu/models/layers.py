@@ -536,6 +536,13 @@ class LabelEmbedder(nn.Module):
             dtype=self.dtype, name="embedding_table",
         )
         if (train and self.dropout_prob > 0) or force_drop_ids is not None:
+            if self.dropout_prob <= 0:
+                # no null row exists in the table; XLA would clamp the OOB
+                # gather and silently map drops to the last real class
+                raise ValueError(
+                    "force_drop_ids requires dropout_prob > 0 (the null-class "
+                    "embedding row only exists when CFG dropout is enabled)"
+                )
             if force_drop_ids is None:
                 rng = self.make_rng("label_drop")
                 drop = jax.random.uniform(rng, labels.shape) < self.dropout_prob

@@ -338,3 +338,27 @@ def diffusers_vae_to_flax(sd: Dict[str, np.ndarray], cfg: VAEConfig) -> Dict[str
         "post_quant_conv": _t_conv(sd, "post_quant_conv"),
     }
     return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def load_flax_vae(path: str) -> Tuple["AutoencoderKL", Dict[str, Any]]:
+    """Load a VAE trained by scripts/train_vae.py.
+
+    `path` is the output dir holding vae_params.msgpack + vae_config.json.
+    Returns (module, params) ready for .apply; the counterpart loader for
+    diffusers-pretrained weights is diffusers_vae_to_flax above.
+    """
+    import json as _json
+    import os as _os
+
+    from flax import serialization
+
+    with open(_os.path.join(path, "vae_config.json")) as f:
+        raw = _json.load(f)
+    raw["block_out_channels"] = tuple(raw["block_out_channels"])
+    cfg = VAEConfig(**raw)
+    vae = AutoencoderKL(cfg)
+    rng = jax.random.PRNGKey(0)
+    template = vae.init(rng, jnp.zeros((1, 64, 64, cfg.in_channels)), rng)
+    with open(_os.path.join(path, "vae_params.msgpack"), "rb") as f:
+        params = serialization.from_bytes(template, f.read())
+    return vae, params

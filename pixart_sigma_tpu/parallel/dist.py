@@ -97,5 +97,13 @@ def gather_cpu(obj: Any) -> list:
         return [obj]
     from jax.experimental import multihost_utils
 
+    # process_allgather stacks each *leaf* along a new leading process axis;
+    # transpose that into a per-process list of objects so pytrees (dicts,
+    # lists) come back with the reference's all_gather shape: a list of len
+    # process_count() whose i-th entry is process i's obj.
     gathered = multihost_utils.process_allgather(obj)
-    return list(gathered)
+    n = jax.process_count()
+    return [
+        jax.tree_util.tree_map(lambda leaf: leaf[i], gathered)
+        for i in range(n)
+    ]

@@ -50,8 +50,14 @@ def came(
     eps: Tuple[float, float] = (1e-30, 1e-16),
     clip_threshold: float = 1.0,
     weight_decay: float = 0.0,
+    decay_mask=None,
 ) -> optax.GradientTransformation:
-    """CAME optimizer (the Sigma configs' default: lr 2e-5, wd 0)."""
+    """CAME optimizer (the Sigma configs' default: lr 2e-5, wd 0).
+
+    `decay_mask`: optional callable params -> pytree[bool] (True = apply
+    weight decay); mirrors the reference's per-module `zero_weight_decay`
+    param groups (optimizer.py:138-148).
+    """
     beta1, beta2, beta3 = betas
     eps1, eps2 = eps
 
@@ -86,7 +92,7 @@ def came(
             else learning_rate
         )
 
-        def one(g, p, m, r, c, sr, sc):
+        def one(g, p, m, r, c, sr, sc, dm=True):
             g = g.astype(jnp.float32)
             sq = jnp.square(g) + eps1
             if _factored(g.shape):
@@ -107,13 +113,18 @@ def came(
                 upd = m
             delta = -lr * upd
             if weight_decay:
-                delta = delta - lr * weight_decay * p.astype(jnp.float32)
+                decayed = delta - lr * weight_decay * p.astype(jnp.float32)
+                delta = decayed if dm is True else jnp.where(dm, decayed, delta)
             return delta.astype(p.dtype), m, r, c, sr, sc
 
-        flat_out = jax.tree_util.tree_map(
-            one, grads, params, state.exp_avg, state.row, state.col,
+        args = [
+            grads, params, state.exp_avg, state.row, state.col,
             state.res_row, state.res_col,
-        )
+        ]
+        if weight_decay and decay_mask is not None:
+            mask = decay_mask(params) if callable(decay_mask) else decay_mask
+            args.append(mask)
+        flat_out = jax.tree_util.tree_map(one, *args)
         pick = lambda i: jax.tree_util.tree_map(
             lambda t: t[i], flat_out, is_leaf=lambda x: isinstance(x, tuple)
         )
@@ -165,7 +176,29 @@ def build_optimizer(
 
     Matches the reference's defaults: CAME(lr 2e-5, betas (0.9,0.999,0.9999),
     eps (1e-30,1e-16)) with gradient_clip 0.01 for Sigma configs.
+
+    `skip_decay_fn(path: tuple[str, ...], param) -> bool` marks params that
+    must NOT receive weight decay — the JAX answer to the reference's
+    param-wise `zero_weight_decay` groups (optimizer.py:31-148). `path` is
+    the tuple of pytree key names (e.g. ('blocks', 'attn', 'qkv', 'bias')).
     """
+    decay_mask = None
+    if skip_decay_fn is not None:
+
+        def _key_name(k):
+            for attr in ("key", "name", "idx"):
+                if hasattr(k, attr):
+                    return getattr(k, attr)
+            return k
+
+        def decay_mask(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, p: not skip_decay_fn(
+                    tuple(_key_name(k) for k in path), p
+                ),
+                params,
+            )
+
     if name == "came":
         # eps may leak in as a scalar from a merged AdamW base config; CAME
         # needs its (eps1, eps2) pair — fall back to the paper defaults then
@@ -177,12 +210,15 @@ def build_optimizer(
             betas=tuple(betas) if betas else (0.9, 0.999, 0.9999),
             eps=eps_pair,
             weight_decay=weight_decay,
+            decay_mask=decay_mask,
         )
     elif name == "lion":
-        opt = lion(
+        opt = optax.lion(
             learning_rate,
-            betas=tuple(betas) if betas else (0.9, 0.99),
+            b1=betas[0] if betas else 0.9,
+            b2=betas[1] if betas else 0.99,
             weight_decay=weight_decay,
+            mask=decay_mask,
         )
     elif name == "adamw":
         opt = optax.adamw(
@@ -191,6 +227,7 @@ def build_optimizer(
             b2=betas[1] if betas else 0.999,
             eps=eps if isinstance(eps, float) else 1e-10,
             weight_decay=weight_decay,
+            mask=decay_mask,
         )
     else:
         raise ValueError(f"unknown optimizer {name}")

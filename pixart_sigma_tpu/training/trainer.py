@@ -37,7 +37,12 @@ from pixart_sigma_tpu.training.train_state import TrainState
 from pixart_sigma_tpu.training.train_step import make_train_step
 from pixart_sigma_tpu.utils import checkpoint as ckpt_io
 from pixart_sigma_tpu.utils.debug import find_nonfinite, format_health_report
-from pixart_sigma_tpu.utils.logging import LogBuffer, MetricsWriter, get_logger
+from pixart_sigma_tpu.utils.logging import (
+    LogBuffer,
+    MetricsWriter,
+    Tracker,
+    get_logger,
+)
 
 
 def build_dataset(config: Config):
@@ -86,6 +91,8 @@ class Trainer:
         config.dump(os.path.join(self.work_dir, "config.py.dump"))
         self.logger = get_logger(work_dir=self.work_dir)
         self.metrics = MetricsWriter(self.work_dir)
+        tracker = Tracker(self.work_dir, config.get("report_to"))
+        self.tracker = tracker if tracker.enabled else None
 
         mesh_cfg = config.get("mesh", {}) or {}
         self.mesh = build_mesh(MeshConfig(**mesh_cfg))
@@ -99,32 +106,23 @@ class Trainer:
             snr=config.get("snr_loss", False),
         )
 
-        # LR with auto scaling (reference optimizer.py:18-28 + train.py:448)
+        # LR with auto scaling (reference optimizer.py:18-28 + train.py:448).
+        # The optimizer/schedule are built lazily once the true horizon is
+        # known: reference train.py:469 sets
+        # total_steps = len(train_dataloader) * num_epochs — we mirror that in
+        # train(); a direct init_state() call falls back to a default horizon.
         opt_cfg = dict(config.optimizer)
         world_batch = config.train_batch_size * jax.device_count()
-        lr, self.lr_scale_ratio = auto_scale_lr(
-            opt_cfg.pop("lr"), world_batch, rule=config.auto_lr["rule"]
-        )
-        steps_per_epoch = config.get("steps_per_epoch")  # optional override
-        total_steps = (steps_per_epoch or 10_000) * config.num_epochs
-        schedule = build_lr_schedule(
-            config.lr_schedule, lr,
-            num_training_steps=total_steps,
-            lr_scale_ratio=self.lr_scale_ratio,
-            **config.get("lr_schedule_args", {}),
-        )
-        self.tx = build_optimizer(
-            name=opt_cfg.pop("type"),
-            learning_rate=schedule,
-            grad_clip_norm=config.get("gradient_clip"),
-            **opt_cfg,
-        )
-        accum = config.get("gradient_accumulation_steps", 1)
-        if accum > 1:
-            import optax
-
-            self.tx = optax.MultiSteps(self.tx, every_k_schedule=accum)
-        self.schedule = schedule
+        if config.get("auto_lr"):  # reference train.py:448: `if config.auto_lr`
+            lr, self.lr_scale_ratio = auto_scale_lr(
+                opt_cfg.pop("lr"), world_batch, rule=config.auto_lr["rule"]
+            )
+        else:
+            lr, self.lr_scale_ratio = opt_cfg.pop("lr"), 1.0
+        self._base_lr = lr
+        self._opt_cfg = opt_cfg
+        self.tx = None
+        self.schedule = None
         self.state: Optional[TrainState] = None
         # optional importance sampling of t (component #12; off by default,
         # matching the reference trainer)
@@ -145,9 +143,60 @@ class Trainer:
         )
         self.batch_sharding = data_sharding(self.mesh)
 
+    # ------------------------------------------------------------- optimizer
+    def build_optimizer(self, total_steps: int) -> None:
+        """Build the LR schedule + optimizer for a known training horizon.
+
+        Reference train.py:469: total_steps = len(train_dataloader) *
+        num_epochs feeds build_lr_scheduler so cosine/warmup schedules span
+        the real run length.
+        """
+        cfg = self.config
+        schedule = build_lr_schedule(
+            cfg.lr_schedule, self._base_lr,
+            num_training_steps=total_steps,
+            lr_scale_ratio=self.lr_scale_ratio,
+            **cfg.get("lr_schedule_args", {}),
+        )
+        opt_cfg = dict(self._opt_cfg)
+        # config knob no_weight_decay_on: param-path substrings exempt from
+        # weight decay (reference zero_weight_decay groups, optimizer.py:138)
+        skip_fn = None
+        no_decay = cfg.get("no_weight_decay_on")
+        if no_decay:
+
+            def skip_fn(path, p):
+                joined = "/".join(str(x) for x in path)
+                return any(s in joined for s in no_decay)
+
+        tx = build_optimizer(
+            name=opt_cfg.pop("type"),
+            learning_rate=schedule,
+            grad_clip_norm=cfg.get("gradient_clip"),
+            skip_decay_fn=skip_fn,
+            **opt_cfg,
+        )
+        accum = cfg.get("gradient_accumulation_steps", 1)
+        if accum > 1:
+            import optax
+
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        self.tx = tx
+        self.schedule = schedule
+        self.total_steps = total_steps
+
+    def _ensure_optimizer(self, total_steps: Optional[int] = None) -> None:
+        if self.tx is None:
+            cfg = self.config
+            if total_steps is None:
+                spe = cfg.get("steps_per_epoch") or 10_000
+                total_steps = spe * cfg.num_epochs
+            self.build_optimizer(total_steps)
+
     # ---------------------------------------------------------------- state
     def init_state(self, rng: jax.Array, example_batch: Dict[str, Any]):
         cfg = self.config
+        self._ensure_optimizer()
         B = example_batch["latents"].shape[0]
         init_kwargs = {}
         if self.model.cfg.micro_condition:
@@ -203,7 +252,7 @@ class Trainer:
         )
 
     # ----------------------------------------------------------------- loop
-    def _encode_images(self, images: np.ndarray) -> jnp.ndarray:
+    def _encode_images(self, images: np.ndarray, step: int = 0) -> jnp.ndarray:
         """On-the-fly VAE posterior sampling (reference train.py:144-155)."""
         assert self.vae is not None, (
             "dataset yields raw images (load_vae_feat=False) but the Trainer "
@@ -227,12 +276,16 @@ class Trainer:
                 return z
 
             self._encode_jit = jax.jit(enc)
-        rng = jax.random.PRNGKey(int(time.time_ns()) % (2**31))
+        # Deterministic per-step key (reproducible + resume-stable); the
+        # reference inherits determinism from torch's seeded global RNG.
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), step)
         return self._encode_jit(self.vae_params, jnp.asarray(images), rng)
 
-    def prepare_batch(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    def prepare_batch(
+        self, batch: Dict[str, Any], step: int = 0
+    ) -> Dict[str, jnp.ndarray]:
         if "latents" not in batch:
-            batch = dict(batch, latents=self._encode_images(batch["image"]))
+            batch = dict(batch, latents=self._encode_images(batch["image"], step))
         if "y" not in batch:
             assert self.t5 is not None, (
                 "dataset yields raw prompts (load_t5_feat=False) but the "
@@ -258,6 +311,8 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         start_step = 0
         loader = self.build_loader()
+        steps_per_epoch = cfg.get("steps_per_epoch") or len(loader)
+        self._ensure_optimizer(steps_per_epoch * cfg.num_epochs)
         buf = LogBuffer()
         t_last = time.time()
 
@@ -266,10 +321,24 @@ class Trainer:
             self.init_state(rng, self.prepare_batch(first))
             start_step = self.maybe_resume()
 
+        # Resume fast-forward (reference train.py:141-143 + filename epoch
+        # parse at :469-479): restart inside the epoch the checkpoint stopped
+        # in, skipping the batches already consumed that epoch.
+        start_epoch = start_step // steps_per_epoch
+        if start_step:
+            skip = start_step % steps_per_epoch
+            loader.skip_batches = skip
+            self.logger.info(
+                f"resume fast-forward: epoch {start_epoch}, skipping {skip} batches"
+            )
+
         step = start_step
-        for epoch in range(cfg.num_epochs):
+        for epoch in range(start_epoch, cfg.num_epochs):
+            # Distinct shuffle order per epoch (torch DistributedSampler
+            # semantics; reference gets this for free from set_epoch).
+            loader.batch_sampler.set_epoch(epoch)
             for batch in loader:
-                batch_dev = self.prepare_batch(batch)
+                batch_dev = self.prepare_batch(batch, step)
                 if self.sampler_state is not None:
                     self.state, metrics, self.sampler_state = self.step_fn(
                         self.state, batch_dev, rng, self.sampler_state
@@ -290,6 +359,8 @@ class Trainer:
                     )
                     self.logger.info(msg)
                     self.metrics.write(step, dict(buf.output, lr=lr_now))
+                    if self.tracker is not None:
+                        self.tracker.add_scalars(step, dict(buf.output, lr=lr_now))
                     if not np.isfinite(buf.output.get("loss", 0.0)):
                         # NaN watchdog (replaces DebugUnderflowOverflow)
                         self.logger.error("non-finite loss; param health:")
@@ -307,6 +378,7 @@ class Trainer:
                     self.log_validation(step, batch_dev)
                 if max_steps and step - start_step >= max_steps:
                     return self.state
+            loader.skip_batches = 0  # fast-forward applies to one epoch only
             if (epoch + 1) % cfg.get("save_model_epochs", 1) == 0:
                 self.save(step)
         return self.state
@@ -315,9 +387,11 @@ class Trainer:
         """Periodic sampling with the EMA weights on the current captions.
 
         Spec: train.py:44-122 (log_validation, DPM-Solver 14 steps CFG 4.5,
-        deterministic noise when configured). Without a live T5/VAE in the
-        training loop we condition on the batch's precomputed embeddings and
-        dump latents to the workdir; decode offline with tools/ or a VAE.
+        deterministic noise when configured, decoded images to the tracker
+        at :93-118). We condition on the batch's (pre)computed embeddings;
+        when the Trainer holds a VAE the latents are decoded and written as
+        PNGs (+ TensorBoard when report_to='tensorboard'), otherwise raw
+        latents are dumped to .npy for offline decode.
         """
         from pixart_sigma_tpu.diffusion.dpm_solver import (
             DPMSolver,
@@ -352,9 +426,32 @@ class Trainer:
         latents = jax.jit(
             lambda x: solver.sample(x, steps=14, order=2)
         )(noise)
-        if jax.process_index() == 0:
+        if jax.process_index() != 0:
+            return
+        latents = np.asarray(latents) / cfg.scale_factor
+        if self.vae is not None:
+            from pixart_sigma_tpu.models.vae import AutoencoderKL
+
+            imgs = jax.jit(
+                lambda p, z: self.vae.apply(p, z, method=AutoencoderKL.decode)
+            )(self.vae_params, jnp.asarray(latents))
+            imgs = np.asarray(jnp.clip(imgs * 0.5 + 0.5, 0.0, 1.0))  # NHWC
+            pngs = (imgs * 255).round().astype(np.uint8)
+            from PIL import Image
+
+            for i, arr in enumerate(pngs):
+                out = os.path.join(
+                    self.work_dir, f"validation_step_{step}_{i}.png"
+                )
+                Image.fromarray(arr).save(out)
+            self.logger.info(
+                f"validation images -> {self.work_dir}/validation_step_{step}_*.png"
+            )
+            if self.tracker is not None:
+                self.tracker.add_images(step, "validation", imgs)
+        else:
             out = os.path.join(self.work_dir, f"validation_step_{step}.npy")
-            np.save(out, np.asarray(latents) / cfg.scale_factor)
+            np.save(out, latents)
             self.logger.info(f"validation latents -> {out}")
 
     def save(self, step: int) -> None:

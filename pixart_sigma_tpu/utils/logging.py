@@ -83,6 +83,59 @@ class MetricsWriter:
             f.write(json.dumps(rec) + "\n")
 
 
+class Tracker:
+    """Optional experiment tracker (reference train.py:259-267,457-462 uses
+    accelerate's --report_to for TensorBoard/W&B scalars + validation images).
+
+    Backend 'tensorboard' uses torch.utils.tensorboard; anything else (or an
+    unavailable backend) degrades to a no-op so training never depends on it.
+    """
+
+    def __init__(self, work_dir: str, report_to: Optional[str] = None):
+        self._writer = None
+        if report_to == "tensorboard" and jax.process_index() == 0:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._writer = SummaryWriter(
+                    log_dir=os.path.join(work_dir, "tb")
+                )
+            except Exception:  # pragma: no cover - missing optional dep
+                get_logger().warning(
+                    "report_to='tensorboard' requested but tensorboard is "
+                    "unavailable; tracker disabled"
+                )
+        elif report_to and report_to != "tensorboard":
+            get_logger().warning(
+                f"report_to={report_to!r} not supported (only 'tensorboard'); "
+                "tracker disabled"
+            )
+
+    @property
+    def enabled(self) -> bool:
+        return self._writer is not None
+
+    def add_scalars(self, step: int, metrics: Dict[str, Any]) -> None:
+        if self._writer is None:
+            return
+        for k, v in metrics.items():
+            self._writer.add_scalar(k, float(v), global_step=step)
+
+    def add_images(self, step: int, tag: str, images) -> None:
+        """images: [N, H, W, C] float in [0, 1]."""
+        if self._writer is None:
+            return
+        import numpy as np
+
+        self._writer.add_images(
+            tag, np.asarray(images), global_step=step, dataformats="NHWC"
+        )
+
+    def flush(self) -> None:
+        if self._writer is not None:
+            self._writer.flush()
+
+
 class SimpleTimer:
     """ETA logger for long loops (reference misc.py:85-104)."""
 

