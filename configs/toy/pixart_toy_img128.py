@@ -40,6 +40,9 @@ auto_lr = None  # keep the configured lr regardless of world batch
 gradient_clip = 1.0
 log_interval = 50
 save_model_steps = 2000
+save_model_epochs = 250  # toy epochs are 8 steps; default-1 would save every 8s
+# 0.9999 needs ~20k steps to forget the random init; toy runs are ~4k steps
+ema_rate = 0.99
 eval_sampling_steps = 1000
 deterministic_validation = True
 real_prompt_ratio = 1.0

@@ -86,7 +86,15 @@ _TEST_TABLES = {
 
 
 def aspect_ratio_table(base_resolution: int, test: bool = False):
+    """Bucket table for a base resolution.
+
+    Sizes outside the reference's published tables (256/512/1024/2048) fall
+    back to a single square bucket so custom/toy resolutions flow through
+    the same multi-scale plumbing.
+    """
     tables = _TEST_TABLES if test else _TABLES
+    if base_resolution not in tables:
+        return {"1.0": [float(base_resolution), float(base_resolution)]}
     return tables[base_resolution]
 
 

@@ -38,7 +38,15 @@ class DMDDataset:
         return len(self.meta)
 
     def _chw_to_hwc(self, arr: np.ndarray) -> np.ndarray:
-        return arr.transpose(1, 2, 0) if arr.shape[0] in (4, 8) else arr
+        # Accept torch-produced CHW pairs and native HWC ones. Checking only
+        # the leading dim misreads small HWC grids (e.g. [8, 8, 4] from a
+        # 64px teacher) as channel-first; when both ends look like channels,
+        # channel-first iff the TRAILING dims form the square spatial grid.
+        lead = arr.shape[0] in (4, 8)
+        trail = arr.shape[2] in (4, 8)
+        if lead and (not trail or arr.shape[1] == arr.shape[2]):
+            return arr.transpose(1, 2, 0)
+        return arr
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         m = self.meta[index]

@@ -273,6 +273,38 @@ class T5Embedder:
         return self._encode(self.params, ids, mask), mask
 
 
+class PseudoT5Embedder:
+    """Deterministic hash-embedding text encoder (offline toy pipeline).
+
+    Bit-identical to tools/make_toy_dataset.py's --pseudo-t5 features: each
+    word maps to a fixed unit-variance fp16 vector seeded by a stable hash,
+    padded to model_max_length. A DiT trained on that dataset can then be
+    sampled from free-form captions with no T5 weights on disk — this is the
+    text-encoder leg of the air-gapped train -> sample -> decode loop
+    (reference toy workflow: README.md:120-146).
+    """
+
+    def __init__(self, dim: int = 64, model_max_length: int = 12):
+        self.dim = dim
+        self.model_max_length = model_max_length
+
+    def get_text_embeddings(self, texts):
+        import hashlib
+
+        B, L = len(texts), self.model_max_length
+        y = np.zeros((B, L, self.dim), np.float32)
+        mask = np.zeros((B, L), np.int32)
+        for i, text in enumerate(texts):
+            words = text.split()[:L]
+            for j, w in enumerate(words):
+                seed = int.from_bytes(
+                    hashlib.sha256(w.encode()).digest()[:4], "little")
+                y[i, j] = np.random.RandomState(seed).randn(
+                    self.dim).astype(np.float16)
+                mask[i, j] = 1
+        return jnp.asarray(y), jnp.asarray(mask)
+
+
 def _load_hf_state_dict(path: str) -> Dict[str, np.ndarray]:
     import os
 

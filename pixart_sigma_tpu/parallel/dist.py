@@ -32,10 +32,14 @@ def initialize_distributed(
     )
     if coordinator_address is None:
         return  # single host
+    if num_processes is None:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None:  # NOT `or`: rank 0 is falsy
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=num_processes or int(os.environ["JAX_NUM_PROCESSES"]),
-        process_id=process_id or int(os.environ["JAX_PROCESS_ID"]),
+        num_processes=num_processes,
+        process_id=process_id,
     )
 
 

@@ -126,6 +126,7 @@ class PixArtPipeline:
         y: Optional[jnp.ndarray] = None,
         y_mask: Optional[jnp.ndarray] = None,
         y_null: Optional[jnp.ndarray] = None,
+        latents: Optional[jnp.ndarray] = None,
         return_latents: bool = False,
         block_cache_interval: int = 0,  # >=2: delta block caching (turbo)
         block_cache_threshold: Optional[float] = None,  # adaptive (TeaCache-style)
@@ -197,7 +198,14 @@ class PixArtPipeline:
 
         rng = jax.random.PRNGKey(seed)
         rng, init_rng = jax.random.split(rng)
-        x = self._shard(jax.random.normal(init_rng, (B, h, w, 4), jnp.float32))
+        if latents is not None:
+            # caller-supplied init noise (diffusers `latents=`; DMD pair
+            # generation needs the exact noise persisted next to the output)
+            assert latents.shape == (B, h, w, 4), (latents.shape, (B, h, w, 4))
+            x = self._shard(jnp.asarray(latents, jnp.float32))
+        else:
+            x = self._shard(
+                jax.random.normal(init_rng, (B, h, w, 4), jnp.float32))
         y = self._shard(y)
         null_y = self._shard(null_y)
         mask_full = self._shard(mask_full)

@@ -306,7 +306,11 @@ def load_checkpoint(
     load_ema: bool = False,
     null_embedding: Optional[np.ndarray] = None,
 ) -> Dict[str, Any]:
-    """One-stop loader: .pth (train dialect) or diffusers safetensors."""
+    """One-stop loader: .pth (train dialect), diffusers safetensors, or a
+    native orbax train-state dir (step_N from save_train_state, or a
+    checkpoints/ dir holding them — the latest step is picked)."""
+    if os.path.isdir(path) and _is_orbax_dir(path):
+        return load_orbax_params(path, load_ema=load_ema)
     if path.endswith(".pth") or path.endswith(".pt"):
         import torch
 
@@ -341,6 +345,38 @@ def save_train_state(ckpt_dir: str, state, step: Optional[int] = None) -> str:
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
     return path
+
+
+def _is_orbax_dir(path: str) -> bool:
+    return (
+        os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))
+        or latest_checkpoint(path) is not None
+        or latest_checkpoint(os.path.join(path, "checkpoints")) is not None
+    )
+
+
+def load_orbax_params(path: str, load_ema: bool = False) -> Dict[str, Any]:
+    """Inference-side restore of a save_train_state checkpoint -> params.
+
+    Accepts a step_N dir, a checkpoints/ dir of them, or a run workdir with
+    a checkpoints/ subdir; returns ema_params if load_ema and present, else
+    params. Uses a template-free PyTree restore (no optimizer state or model
+    structure needed on the inference side).
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if not os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA")):
+        for cand in (path, os.path.join(path, "checkpoints")):
+            latest = latest_checkpoint(cand)
+            if latest is not None:
+                path = latest
+                break
+        else:
+            raise FileNotFoundError(f"no orbax step_N checkpoint under {path}")
+    restored = ocp.PyTreeCheckpointer().restore(path)
+    key = "ema_params" if load_ema and "ema_params" in restored else "params"
+    return restored[key]
 
 
 def restore_train_state(ckpt_path: str, state):

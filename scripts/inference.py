@@ -45,6 +45,17 @@ def parse_args():
                         "(0.05-0.3 typical; overrides interval)")
     p.add_argument("--cache-span", type=str, default="7:21",
                    help="k1:k2 layer span cached by block caching")
+    p.add_argument("--vae-flax", default=None,
+                   help="dir from scripts/train_vae.py (vae_config.json + "
+                        "vae_params.msgpack); alternative to --vae-path")
+    p.add_argument("--pseudo-t5", type=int, default=None, metavar="DIM",
+                   help="hash-embedding text encoder of this dim (toy "
+                        "pipeline, tools/make_toy_dataset.py --pseudo-t5); "
+                        "CFG null is the model's learned null caption")
+    p.add_argument("--scale-factor", type=float, default=None,
+                   help="latent scale override (toy VAE; default per version)")
+    p.add_argument("--load-ema", action="store_true",
+                   help="load EMA params from an orbax train-state checkpoint")
     return p.parse_args()
 
 
@@ -54,6 +65,7 @@ DEFAULT_STEPS = {"dpm-solver": 20, "iddpm": 100, "sa-solver": 25, "lcm": 4, "dmd
 
 def main():
     args = parse_args()
+    import jax.numpy as jnp
     import numpy as np
     from PIL import Image
 
@@ -88,18 +100,27 @@ def main():
             **extra,
         )
 
-    params = {"params": ckpt_io.load_checkpoint(args.model_path, model.cfg)}
+    params = {"params": ckpt_io.load_checkpoint(
+        args.model_path, model.cfg, load_ema=args.load_ema)}
 
     t5 = None
-    if args.t5_path:
+    if args.pseudo_t5:
+        from pixart_sigma_tpu.models.t5 import PseudoT5Embedder
+
+        t5 = PseudoT5Embedder(args.pseudo_t5, model.cfg.model_max_length)
+    elif args.t5_path:
         from pixart_sigma_tpu.models.t5 import T5Embedder
 
         t5 = T5Embedder.from_pretrained(
             args.t5_path, model_max_length=model.cfg.model_max_length
         )
     vae = vae_params = None
-    scale = 0.13025 if args.version == "sigma" else 0.18215
-    if args.vae_path:
+    scale = args.scale_factor or (0.13025 if args.version == "sigma" else 0.18215)
+    if args.vae_flax:
+        from pixart_sigma_tpu.models.vae import load_flax_vae
+
+        vae, vae_params = load_flax_vae(args.vae_flax)
+    elif args.vae_path:
         from pixart_sigma_tpu.models.vae import (
             AutoencoderKL,
             VAEConfig,
@@ -115,10 +136,18 @@ def main():
             )
         }
 
+    base_res = config.get("image_size", args.image_size) if args.config \
+        else args.image_size
     pipe = PixArtPipeline(
         model, params, t5=t5, vae=vae, vae_params=vae_params,
-        scale_factor=scale, base_resolution=args.image_size,
+        scale_factor=scale, base_resolution=base_res,
     )
+
+    # pseudo-T5 has no encoding of "" — CFG null is the learned null caption
+    y_null_row = None
+    if args.pseudo_t5:
+        y_null_row = jnp.asarray(
+            params["params"]["y_embedder"]["y_embedding"], jnp.float32)
 
     with open(args.txt_file) as f:
         prompts = [ln.strip() for ln in f if ln.strip()]
@@ -133,6 +162,8 @@ def main():
             guidance_scale=args.cfg_scale,
             sampler=args.sampling_algo,
             seed=args.seed + idx,
+            y_null=None if y_null_row is None
+            else jnp.broadcast_to(y_null_row[None], (len(chunk),) + y_null_row.shape),
             return_latents=(vae is None),
             block_cache_interval=args.block_cache_interval,
             block_cache_threshold=args.block_cache_threshold,

@@ -150,3 +150,39 @@ def test_orbax_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(restored.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_orbax_params_inference_side(tmp_path):
+    """Template-free param restore from a train-state dir (inference CLI).
+
+    Covers: step_N dir, checkpoints/ parent, workdir parent, and the
+    load_ema switch; also that load_checkpoint dispatches dirs to orbax.
+    """
+    from pixart_sigma_tpu.training import TrainState, build_optimizer
+    from pixart_sigma_tpu.utils.checkpoint import (
+        load_checkpoint,
+        load_orbax_params,
+    )
+
+    cfg = _cfg()
+    _, params = _init_params(cfg)
+    tx = build_optimizer(name="adamw", learning_rate=1e-3)
+    state = TrainState.create(params=params, tx=tx, ema=True)
+    state = state.replace(
+        ema_params=jax.tree_util.tree_map(lambda p: p + 1.0, state.params))
+    workdir = tmp_path / "run"
+    path = save_train_state(str(workdir / "checkpoints"), state)
+
+    for src in (path, str(workdir / "checkpoints"), str(workdir)):
+        got = load_orbax_params(src)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ema = load_orbax_params(path, load_ema=True)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(ema)):
+        np.testing.assert_allclose(np.asarray(a) + 1.0, np.asarray(b))
+    via_dispatch = load_checkpoint(str(workdir), cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(via_dispatch)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -72,3 +72,28 @@ def test_t5_encoder_matches_transformers():
     np.testing.assert_allclose(
         np.asarray(got)[valid], want[valid], rtol=2e-4, atol=2e-5
     )
+
+
+def test_pseudo_t5_matches_toy_dataset_features():
+    """PseudoT5Embedder must be bit-identical to make_toy_dataset's
+    --pseudo-t5 features (the model was trained on those)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "make_toy_dataset", "/root/repo/tools/make_toy_dataset.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pixart_sigma_tpu.models.t5 import PseudoT5Embedder
+
+    prompt = "a red circle on a black background"
+    dim, L = 64, 12
+    fea, mask = mod.pseudo_t5_features(prompt, dim, L)
+    emb = PseudoT5Embedder(dim, L)
+    y, m = emb.get_text_embeddings([prompt, ""])
+    n = fea.shape[0]
+    np.testing.assert_array_equal(np.asarray(y)[0, :n], fea.astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(y)[0, n:], 0.0)
+    np.testing.assert_array_equal(np.asarray(m)[0, :n], 1)
+    np.testing.assert_array_equal(np.asarray(m)[0, n:], 0)
+    np.testing.assert_array_equal(np.asarray(m)[1], 0)
