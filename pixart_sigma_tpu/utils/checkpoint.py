@@ -310,7 +310,8 @@ def load_checkpoint(
     native orbax train-state dir (step_N from save_train_state, or a
     checkpoints/ dir holding them — the latest step is picked)."""
     if os.path.isdir(path) and _is_orbax_dir(path):
-        return load_orbax_params(path, load_ema=load_ema)
+        return repartition_scan_params(
+            load_orbax_params(path, load_ema=load_ema), cfg)
     if path.endswith(".pth") or path.endswith(".pt"):
         import torch
 
@@ -345,6 +346,55 @@ def save_train_state(ckpt_dir: str, state, step: Optional[int] = None) -> str:
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
     return path
+
+
+def repartition_scan_params(params: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Re-split `blocks_scan_<g>` stacks to match cfg.block_groups().
+
+    Scan-group boundaries are a COMPILE choice, not a weight property: a
+    checkpoint trained without cache_span stores one stack per sr_ratio run,
+    while a cache_span model needs extra splits at the span edges. Concat
+    the saved stacks layer-wise, then re-split by the target grouping. A
+    no-op when the layout already matches or the model is unrolled.
+    """
+    if cfg is None or not hasattr(cfg, "block_groups"):
+        return params
+    saved = sorted(
+        (k for k in params if k.startswith("blocks_scan_")),
+        key=lambda k: int(k.rsplit("_", 1)[1]),
+    )
+    if not saved:
+        return params
+    target = cfg.block_groups()
+    if len(saved) == len(target):
+        lead = jax.tree_util.tree_leaves(params[saved[0]])[0].shape[0]
+        if all(
+            jax.tree_util.tree_leaves(params[k])[0].shape[0] == cnt
+            for k, (_, cnt) in zip(saved, target)
+        ):
+            return params
+        del lead
+    import jax.numpy as jnp
+
+    full = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *(params[k] for k in saved)
+    )
+    depth = jax.tree_util.tree_leaves(full)[0].shape[0]
+    want = sum(cnt for _, cnt in target)
+    if depth != want:
+        raise ValueError(
+            f"checkpoint has {depth} stacked blocks but the model wants "
+            f"{want} ({target})"
+        )
+    out = {k: v for k, v in params.items() if k not in saved}
+    off = 0
+    for g, (_, cnt) in enumerate(target):
+        sl = slice(off, off + cnt)
+        out[f"blocks_scan_{g}"] = jax.tree_util.tree_map(
+            lambda x, sl=sl: x[sl], full
+        )
+        off += cnt
+    return out
 
 
 def _is_orbax_dir(path: str) -> bool:

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""2K / 4K headline benchmark: Sigma's marquee high-res operating points.
+
+Reference claim: PixArt-Sigma supports direct 2K generation
+(PixArt-Sigma-XL-2-2K-MS) and 4K (README.md:74-90). This measures, on the
+real chip, the full 20-step DPM-Solver++ CFG 4.5 denoising trajectory at
+2048px and 4096px (bf16, KV-compress conv x2 on layers 14-27 — the 2K
+config's production setting) plus the tiled VAE decode, and prints one JSON
+row per resolution:
+
+  {"resolution": 2048, "batch": B, "sample_s": ..., "decode_s": ...,
+   "img_per_sec_sampling": ..., "img_per_sec_e2e": ...}
+
+Timing uses the only sound completion barrier on the tunneled backend:
+jax.device_get of a scalar reduction (see CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_resolution(res: int, batch: int, steps: int, decode: bool) -> dict:
+    from pixart_sigma_tpu.diffusion.dpm_solver import (
+        DPMSolver,
+        NoiseScheduleVP,
+        make_cfg_model_fn,
+    )
+    from pixart_sigma_tpu.diffusion.schedules import named_beta_schedule
+    from pixart_sigma_tpu.models.pixart import PixArt, PixArtConfig
+
+    H = W = res // 8
+    cfg = PixArtConfig(
+        input_size=H,
+        model_max_length=300,
+        pe_interpolation=res / 512.0,
+        dtype=jnp.bfloat16,
+        kv_compress_sampling="conv",
+        kv_compress_scale=2,
+        kv_compress_layers=tuple(range(14, 28)),
+    )
+    model = PixArt(cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, H, W, 4), dtype=jnp.float32)
+    y_cond = jnp.asarray(rng.randn(batch, 300, 4096), dtype=jnp.bfloat16)
+    y_uncond = jnp.asarray(rng.randn(batch, 300, 4096), dtype=jnp.bfloat16)
+    mask = jnp.ones((2 * batch, 300), dtype=jnp.int32)
+
+    params = jax.jit(
+        lambda: model.init(
+            jax.random.PRNGKey(0), x[:1].astype(jnp.bfloat16),
+            jnp.zeros((1,)), y_cond[:1], mask[:1],
+        )
+    )()
+
+    betas = named_beta_schedule("linear", 1000)
+    ns = NoiseScheduleVP("discrete", betas=betas)
+
+    @jax.jit
+    def sample(params, x0):
+        def apply_fn(x_in, t_vec, cond, **kw):
+            out = model.apply(
+                params, x_in.astype(jnp.bfloat16), t_vec, cond, mask
+            )
+            return out[..., :4]
+
+        model_fn = make_cfg_model_fn(
+            apply_fn, ns, condition=y_cond, uncondition=y_uncond,
+            cfg_scale=4.5,
+        )
+        solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
+        return solver.sample(x0, steps=steps, order=2, method="multistep")
+
+    reduced = jax.jit(lambda p, x: jnp.sum(sample(p, x).astype(jnp.float32)))
+    jax.device_get(reduced(params, x))  # compile + warm
+    iters = 2
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.device_get(reduced(params, x))
+    sample_s = (time.perf_counter() - t0) / iters
+
+    row = {
+        "resolution": res,
+        "batch": batch,
+        "steps": steps,
+        "tokens": (H // 2) ** 2,
+        "sample_s": round(sample_s, 3),
+        "img_per_sec_sampling": round(batch / sample_s, 4),
+    }
+
+    if decode:
+        from pixart_sigma_tpu.models.vae import (
+            AutoencoderKL,
+            VAEConfig,
+            tiled_decode,
+        )
+
+        vcfg = VAEConfig.sdxl()
+        vae = AutoencoderKL(vcfg)
+        vparams = jax.jit(lambda: vae.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 4)),
+            jax.random.PRNGKey(1)))()
+        dec = jax.jit(lambda p, z: vae.apply(p, z, method=AutoencoderKL.decode))
+        z1 = x[:1] / 0.13025
+
+        def run_decode():
+            img = tiled_decode(lambda zz: dec(vparams, zz), z1)
+            return jax.device_get(jnp.sum(img.astype(jnp.float32)))
+
+        run_decode()  # compile tiles
+        t0 = time.perf_counter()
+        run_decode()
+        decode_s = time.perf_counter() - t0
+        row["decode_s_per_img"] = round(decode_s, 3)
+        row["img_per_sec_e2e"] = round(
+            batch / (sample_s + decode_s * batch), 4)
+    return row
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--resolutions", default="2048,4096")
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--no-decode", action="store_true")
+    args = p.parse_args()
+
+    from pixart_sigma_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    # CFG doubles the model batch; 2*4 at 2K crashed the 16 GB worker
+    BATCH = {1024: 12, 2048: 2, 4096: 1}
+    for res in (int(r) for r in args.resolutions.split(",")):
+        row = bench_resolution(
+            res, BATCH.get(res, 1), args.steps, decode=not args.no_decode)
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -186,3 +186,39 @@ def test_load_orbax_params_inference_side(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(via_dispatch)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_repartition_scan_params_for_cache_span():
+    """Orbax checkpoints keep whatever scan grouping training used; loading
+    into a cache_span model must re-split the stacks (the span edges force
+    new group boundaries) and preserve the function exactly."""
+    from pixart_sigma_tpu.utils.checkpoint import repartition_scan_params
+
+    cfg_plain = _cfg(depth=6, kv_compress_layers=(), scan_blocks=True)
+    model_plain, params = _init_params(cfg_plain)
+
+    cfg_span = _cfg(depth=6, kv_compress_layers=(), scan_blocks=True,
+                    cache_span=(2, 5))
+    model_span = PixArt(cfg_span)
+    re_params = repartition_scan_params(params, cfg_span)
+    assert sorted(k for k in re_params if k.startswith("blocks_scan_")) == [
+        "blocks_scan_0", "blocks_scan_1", "blocks_scan_2"]
+    for g, n in ((0, 2), (1, 3), (2, 1)):
+        leaf = jax.tree_util.tree_leaves(re_params[f"blocks_scan_{g}"])[0]
+        assert leaf.shape[0] == n
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    y = jnp.asarray(rng.randn(2, 8, 32).astype(np.float32))
+    t = jnp.asarray([10.0, 500.0])
+    mask = jnp.ones((2, 8), jnp.int32)
+    out_plain = model_plain.apply({"params": params}, x, t, y, mask)
+    out_span = model_span.apply({"params": re_params}, x, t, y, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_plain), np.asarray(out_span), rtol=1e-5, atol=1e-5)
+
+    # idempotent when the layout already matches
+    again = repartition_scan_params(re_params, cfg_span)
+    for a, b in zip(jax.tree_util.tree_leaves(again),
+                    jax.tree_util.tree_leaves(re_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
