@@ -106,9 +106,30 @@ def install_reference() -> None:
     class _BaseOutput:
         pass
 
+    import torch
+
+    class _SchedulerOutput:
+        def __init__(self, prev_sample=None):
+            self.prev_sample = prev_sample
+
+    def _randn_tensor(shape, generator=None, device=None, dtype=None):
+        return torch.randn(shape, generator=generator, dtype=dtype)
+
     _stub("diffusers", ConfigMixin=_ConfigMixin, SchedulerMixin=_SchedulerMixin)
-    _stub("diffusers.configuration_utils", register_to_config=register_to_config)
+    _stub(
+        "diffusers.configuration_utils",
+        register_to_config=register_to_config,
+        ConfigMixin=_ConfigMixin,
+    )
     _stub("diffusers.utils", BaseOutput=_BaseOutput)
+    _stub("diffusers.utils.torch_utils", randn_tensor=_randn_tensor)
+    _stub("diffusers.schedulers")
+    _stub(
+        "diffusers.schedulers.scheduling_utils",
+        KarrasDiffusionSchedulers=[],  # only iterated for _compatibles names
+        SchedulerMixin=_SchedulerMixin,
+        SchedulerOutput=_SchedulerOutput,
+    )
 
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
