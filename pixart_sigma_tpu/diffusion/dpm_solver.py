@@ -149,10 +149,16 @@ class DPMSolver:
         algorithm_type: str = "dpmsolver++",
         correcting_x0_fn: Optional[Callable] = None,
     ):
-        assert algorithm_type in ("dpmsolver", "dpmsolver++")
+        assert algorithm_type in (
+            "dpmsolver", "dpmsolver++", "sde-dpmsolver", "sde-dpmsolver++",
+        )
         self.noise_fn = model_fn
         self.ns = noise_schedule
-        self.algorithm_type = algorithm_type
+        # SDE variants (reference surface: inference_pipeline.py:146
+        # --algorithm sde-dpmsolver/sde-dpmsolver++) share the ODE variants'
+        # data/noise prediction; only the multistep update rule differs.
+        self.sde = algorithm_type.startswith("sde-")
+        self.algorithm_type = algorithm_type.removeprefix("sde-")
         self.correcting_x0_fn = correcting_x0_fn
 
     # -------------------------------------------------------------- models
@@ -271,6 +277,101 @@ class DPMSolver:
             - (sig_t * phi_2) * d1
             - (sig_t * phi_3) * d2
         )
+
+    # ------------------------------------------------------- SDE updates
+    def sde_first_update(self, x, s: float, t: float, model_s, noise):
+        """Order-1 SDE-DPM-Solver step (diffusers
+        scheduling_dpmsolver_multistep.py sde-dpmsolver(++) first order)."""
+        lam_s, log_a_s, sig_s = self._coeffs(s)
+        lam_t, log_a_t, sig_t = self._coeffs(t)
+        h = lam_t - lam_s
+        alpha_t = math.exp(log_a_t)
+        if self.algorithm_type == "dpmsolver++":
+            return (
+                (sig_t / sig_s) * math.exp(-h) * x
+                + alpha_t * (-math.expm1(-2.0 * h)) * model_s
+                + sig_t * math.sqrt(max(0.0, -math.expm1(-2.0 * h))) * noise
+            )
+        return (
+            math.exp(log_a_t - log_a_s) * x
+            - 2.0 * sig_t * math.expm1(h) * model_s
+            + sig_t * math.sqrt(max(0.0, math.expm1(2.0 * h))) * noise
+        )
+
+    def sde_multistep_second_update(
+        self, x, model_prev: Sequence, t_prev: Sequence[float], t: float,
+        noise,
+    ):
+        """Order-2 multistep SDE update (midpoint form, diffusers)."""
+        m1, m0 = model_prev[-2], model_prev[-1]
+        t1, t0 = t_prev[-2], t_prev[-1]
+        lam1, _, _ = self._coeffs(t1)
+        lam0, log_a0, sig0 = self._coeffs(t0)
+        lam_t, log_a_t, sig_t = self._coeffs(t)
+        h0, h = lam0 - lam1, lam_t - lam0
+        r0 = h0 / h
+        d1_0 = (1.0 / r0) * (m0 - m1)
+        alpha_t = math.exp(log_a_t)
+        if self.algorithm_type == "dpmsolver++":
+            k = -math.expm1(-2.0 * h)
+            return (
+                (sig_t / sig0) * math.exp(-h) * x
+                + alpha_t * k * m0
+                + 0.5 * alpha_t * k * d1_0
+                + sig_t * math.sqrt(max(0.0, k)) * noise
+            )
+        return (
+            math.exp(log_a_t - log_a0) * x
+            - 2.0 * sig_t * math.expm1(h) * m0
+            - sig_t * math.expm1(h) * d1_0
+            + sig_t * math.sqrt(max(0.0, math.expm1(2.0 * h))) * noise
+        )
+
+    def sample_sde(
+        self,
+        x: jnp.ndarray,
+        rng,
+        steps: int = 20,
+        t_start: Optional[float] = None,
+        t_end: Optional[float] = None,
+        order: int = 2,
+        skip_type: str = "time_uniform",
+        lower_order_final: bool = True,
+        noise_fn: Optional[Callable] = None,  # (rng, shape, dtype) -> noise
+    ) -> jnp.ndarray:
+        """Multistep SDE sampling (sde-dpmsolver / sde-dpmsolver++).
+
+        Matches the reference's default serving algorithm
+        (inference_pipeline.py:146, sde-dpmsolver++); orders 1-2 as in the
+        torch port. `noise_fn` override enables deterministic tests.
+        """
+        assert self.sde, "construct DPMSolver with an sde-* algorithm_type"
+        assert order in (1, 2)
+        t_0 = (1.0 / self.ns.total_N) if t_end is None else t_end
+        t_T = self.ns.T if t_start is None else t_start
+        ts = [float(v) for v in
+              get_time_steps(self.ns, skip_type, t_T, t_0, steps)]
+        if noise_fn is None:
+            noise_fn = jax.random.normal
+        rngs = list(jax.random.split(rng, steps))
+
+        t_prev = [ts[0]]
+        model_prev = [self.model(x, ts[0])]
+        for step in range(1, steps + 1):
+            t = ts[step]
+            noise = noise_fn(rngs[step - 1], x.shape, x.dtype)
+            step_order = min(order, step,
+                             (steps + 1 - step) if lower_order_final else order)
+            if step_order == 1:
+                x = self.sde_first_update(
+                    x, t_prev[-1], t, model_prev[-1], noise)
+            else:
+                x = self.sde_multistep_second_update(
+                    x, model_prev, t_prev, t, noise)
+            t_prev = (t_prev + [t])[-2:]
+            if step < steps:
+                model_prev = (model_prev + [self.model(x, t)])[-2:]
+        return x
 
     def multistep_update(self, x, model_prev, t_prev, t, order, solver_type):
         if order == 1:
@@ -689,6 +790,10 @@ class DPMSolver:
         t_0 = (1.0 / self.ns.total_N) if t_end is None else t_end
         t_T = self.ns.T if t_start is None else t_start
         assert t_0 > 0 and t_T > 0
+        if self.sde:
+            raise ValueError(
+                "sde-* algorithm types need a noise stream: call "
+                "sample_sde(x, rng, ...) instead of sample()")
 
         if method in ("singlestep", "singlestep_fixed"):
             if method == "singlestep":

@@ -120,7 +120,8 @@ class PixArtPipeline:
         width: Optional[int] = None,
         num_inference_steps: int = 20,
         guidance_scale: float = 4.5,
-        sampler: str = "dpm-solver",  # 'dpm-solver'|'iddpm'|'sa-solver'|'lcm'
+        sampler: str = "dpm-solver",
+        # 'dpm-solver'|'deis'|'sde-dpm-solver'|'iddpm'|'sa-solver'|'lcm'|'dmd'
         seed: int = 0,
         negative_prompt: str = "",
         y: Optional[jnp.ndarray] = None,
@@ -230,6 +231,14 @@ class PixArtPipeline:
             fn = self._cached(key, lambda: self._build_dpm(
                 B, h, w, num_inference_steps, guidance_scale, micro))
             latents = fn(self.params, x, y, null_y, mask_full, img_hw, aspect)
+        elif sampler == "deis":
+            fn = self._cached(key, lambda: self._build_deis(
+                B, h, w, num_inference_steps, guidance_scale, micro))
+            latents = fn(self.params, x, y, null_y, mask_full, img_hw, aspect)
+        elif sampler == "sde-dpm-solver":
+            fn = self._cached(key, lambda: self._build_sde_dpm(
+                B, h, w, num_inference_steps, guidance_scale, micro))
+            latents = fn(self.params, x, y, null_y, mask_full, img_hw, aspect, rng)
         elif sampler == "sa-solver":
             fn = self._cached(key, lambda: self._build_sa(
                 B, h, w, num_inference_steps, guidance_scale, micro))
@@ -276,6 +285,37 @@ class PixArtPipeline:
             )
             solver = DPMSolver(model_fn, self.ns, algorithm_type="dpmsolver++")
             return solver.sample(x, steps=steps, order=2, method="multistep")
+
+        return jax.jit(run)
+
+    def _build_deis(self, B, h, w, steps, cfg_scale, micro):
+        from pixart_sigma_tpu.diffusion.deis import DEISMultistep
+
+        def run(params, x, y, null_y, mask, img_hw, aspect):
+            apply_fn = lambda xi, t, c, **kw: self._apply_eps(
+                params, xi, t, c, mask, img_hw, aspect, micro
+            )
+            model_fn = make_cfg_model_fn(
+                apply_fn, self.ns, condition=y, uncondition=null_y,
+                cfg_scale=cfg_scale,
+            )
+            return DEISMultistep(model_fn, self.ns).sample(
+                x, steps=steps, order=2)
+
+        return jax.jit(run)
+
+    def _build_sde_dpm(self, B, h, w, steps, cfg_scale, micro):
+        def run(params, x, y, null_y, mask, img_hw, aspect, rng):
+            apply_fn = lambda xi, t, c, **kw: self._apply_eps(
+                params, xi, t, c, mask, img_hw, aspect, micro
+            )
+            model_fn = make_cfg_model_fn(
+                apply_fn, self.ns, condition=y, uncondition=null_y,
+                cfg_scale=cfg_scale,
+            )
+            solver = DPMSolver(
+                model_fn, self.ns, algorithm_type="sde-dpmsolver++")
+            return solver.sample_sde(x, rng, steps=steps, order=2)
 
         return jax.jit(run)
 

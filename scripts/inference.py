@@ -29,7 +29,8 @@ def parse_args():
     p.add_argument("--txt-file", required=True, help="one prompt per line")
     p.add_argument("--save-root", default="output/samples")
     p.add_argument("--sampling-algo", default="dpm-solver",
-                   choices=["dpm-solver", "iddpm", "sa-solver", "lcm", "dmd"])
+                   choices=["dpm-solver", "deis", "sde-dpm-solver",
+                            "iddpm", "sa-solver", "lcm", "dmd"])
     p.add_argument("--steps", type=int, default=None,
                    help="default: dpm 20 / iddpm 100 / sa 25 / lcm 4")
     p.add_argument("--cfg-scale", type=float, default=4.5)
@@ -60,7 +61,8 @@ def parse_args():
 
 
 PE_INTERP = {256: 0.5, 512: 1.0, 1024: 2.0, 2048: 4.0}
-DEFAULT_STEPS = {"dpm-solver": 20, "iddpm": 100, "sa-solver": 25, "lcm": 4, "dmd": 1}
+DEFAULT_STEPS = {"dpm-solver": 20, "deis": 20, "sde-dpm-solver": 20,
+                 "iddpm": 100, "sa-solver": 25, "lcm": 4, "dmd": 1}
 
 
 def main():

@@ -34,7 +34,8 @@ def _tiny_pipeline(micro=False):
 
 
 @pytest.mark.parametrize("sampler,steps", [
-    ("dpm-solver", 5), ("sa-solver", 5), ("iddpm", 6), ("lcm", 2), ("dmd", 1),
+    ("dpm-solver", 5), ("deis", 5), ("sde-dpm-solver", 5),
+    ("sa-solver", 5), ("iddpm", 6), ("lcm", 2), ("dmd", 1),
 ])
 def test_pipeline_samplers(sampler, steps):
     pipe, y, null_y, mask = _tiny_pipeline()
