@@ -132,6 +132,18 @@ def get_time_steps(
         return np.linspace(t_T, t_0, N + 1)
     if skip_type == "time_quadratic":
         return np.linspace(math.sqrt(t_T), math.sqrt(t_0), N + 1) ** 2
+    if skip_type == "karras":
+        # rho-7 spacing in sigma/alpha (Karras et al. 2022); the reference
+        # serving pipeline exposes it as --karras
+        # (scripts/inference_pipeline.py:145). Map sigmas back to t via the
+        # monotone lambda table: rho = sigma/alpha = exp(-lambda).
+        rho = 7.0
+        lam_T, lam_0 = ns.marginal_lambda(t_T), ns.marginal_lambda(t_0)
+        s_max, s_min = math.exp(-lam_T), math.exp(-lam_0)
+        ramp = np.linspace(0.0, 1.0, N + 1)
+        sigmas = (s_max ** (1 / rho)
+                  + ramp * (s_min ** (1 / rho) - s_max ** (1 / rho))) ** rho
+        return ns.inverse_lambda(-np.log(sigmas))
     raise ValueError(f"unsupported skip_type {skip_type}")
 
 

@@ -103,3 +103,28 @@ def test_sde_sample_guard():
     solver = DPMSolver(_smooth_model(ns), ns, algorithm_type="sde-dpmsolver++")
     with pytest.raises(ValueError, match="sample_sde"):
         solver.sample(jnp.zeros((1, 4, 4, 4)), steps=5)
+
+
+def test_karras_skip_type():
+    """rho-7 karras spacing (reference --karras) is monotone, spans
+    [t_0, t_T], and the trajectory still converges on the smooth model."""
+    from pixart_sigma_tpu.diffusion.dpm_solver import get_time_steps
+
+    ns = _ns()
+    ts = get_time_steps(ns, "karras", ns.T, 1.0 / 1000, 20)
+    assert ts.shape == (21,)
+    assert np.all(np.diff(ts) < 0)
+    np.testing.assert_allclose(ts[0], ns.T, rtol=1e-6)
+    np.testing.assert_allclose(ts[-1], 1.0 / 1000, rtol=1e-4, atol=1e-6)
+    # karras clusters steps at low noise: the last interval is much finer
+    assert abs(ts[-1] - ts[-2]) < abs(ts[0] - ts[1]) / 3
+
+    fn = _smooth_model(ns)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((1, 4, 4, 4)),
+                    jnp.float32)
+    ref = np.asarray(DPMSolver(fn, ns, algorithm_type="dpmsolver++").sample(
+        x, steps=200, order=2, method="multistep", use_scan=False))
+    out = np.asarray(DPMSolver(fn, ns, algorithm_type="dpmsolver++").sample(
+        x, steps=100, order=2, method="multistep", skip_type="karras",
+        use_scan=False))
+    assert float(np.max(np.abs(out - ref))) < 0.2
