@@ -128,6 +128,16 @@ def sa_get_time_steps(
         return np.asarray(ns.inverse_lambda(steps))
     if skip_type == "time":
         return np.linspace(t_T ** (1.0 / order), t_0 ** (1.0 / order), N + 1) ** order
+    if skip_type == "karras":
+        # rho-7 spacing in EDM sigma = std/alpha = exp(-lambda), clamped to
+        # [max(0.002, sigma(t_0')), min(80, sigma(t_T'))] with t_0'=1e-3,
+        # t_T'=T like the reference (spec :356-358, :411-416).
+        rho = 7.0
+        sigma_min = max(0.002, math.exp(-float(ns.marginal_lambda(1e-3))))
+        sigma_max = min(80.0, math.exp(-float(ns.marginal_lambda(ns.T))))
+        ramp = np.linspace(sigma_max ** (1 / rho), sigma_min ** (1 / rho), N + 1)
+        sigmas = ramp**rho
+        return np.asarray(ns.inverse_lambda(-np.log(sigmas)))
     raise ValueError(f"unsupported skip_type {skip_type}")
 
 
@@ -450,7 +460,13 @@ class SASolver:
             del model_prev[0]
 
         if denoise_to_zero:
-            x = self.model(x, t_0)  # final x0 projection (:420-425)
+            # Final x0 projection — ALWAYS data prediction, even when the
+            # solver runs in noise_prediction space (spec :420-425
+            # denoise_to_zero_fn -> data_prediction_fn).
+            eps = self.noise_fn(x, t_0)
+            alpha_0 = float(self.ns.marginal_alpha(t_0))
+            sigma_0 = float(self.ns.marginal_std(t_0))
+            x = (x - sigma_0 * eps) / alpha_0
         return x
 
 

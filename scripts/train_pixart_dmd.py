@@ -18,10 +18,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data-root", required=True, help="DMD triplet dataset root")
-    p.add_argument("--teacher", required=True, help="pretrained .pth/safetensors")
+    p.add_argument("--teacher", required=True,
+                   help="pretrained .pth/safetensors/orbax dir")
+    p.add_argument("--config", default=None,
+                   help="model config (else PixArtMS_XL_2 at --image-size)")
     p.add_argument("--work-dir", default="output/dmd")
     p.add_argument("--image-size", type=int, default=512)
     p.add_argument("--max-length", type=int, default=120)
+    p.add_argument("--caption-dir", default="caption_features",
+                   help="caption .npz dir under data-root")
+    p.add_argument("--sample-nums", type=int, default=0,
+                   help=">0: train on the first N items only (matching a "
+                        "partial generate_dmd_data.py run)")
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--start-ts", type=int, default=400)
@@ -50,11 +58,19 @@ def main():
     os.makedirs(args.work_dir, exist_ok=True)
     logger = get_logger(work_dir=args.work_dir)
 
-    pe = {256: 0.5, 512: 1.0, 1024: 2.0}[args.image_size]
-    model = PixArtMS_XL_2(
-        input_size=args.image_size // 8, pe_interpolation=pe,
-        model_max_length=args.max_length,
-    )
+    if args.config:
+        from pixart_sigma_tpu.config import read_config
+        from pixart_sigma_tpu.models.builder import build_model_from_config
+
+        config = read_config(args.config)
+        model = build_model_from_config(config)
+        args.max_length = model.cfg.model_max_length
+    else:
+        pe = {256: 0.5, 512: 1.0, 1024: 2.0}[args.image_size]
+        model = PixArtMS_XL_2(
+            input_size=args.image_size // 8, pe_interpolation=pe,
+            model_max_length=args.max_length,
+        )
     teacher = ckpt_io.load_checkpoint(args.teacher, model.cfg)
     gen_params = jax.tree_util.tree_map(jnp.copy, teacher)
     fake_params = jax.tree_util.tree_map(jnp.copy, teacher)
@@ -69,7 +85,10 @@ def main():
     gen_opt = gen_tx.init(gen_params)
     fake_opt = fake_tx.init(fake_params)
 
-    ds = DMDDataset(args.data_root, max_length=args.max_length)
+    ds = DMDDataset(args.data_root, max_length=args.max_length,
+                    caption_dir=args.caption_dir)
+    if args.sample_nums:
+        ds.meta = ds.meta[: args.sample_nums]
     sampler = _SimpleBatchSampler(len(ds), args.batch_size)
     loader = DataLoader(ds, sampler)
     L = args.max_length

@@ -107,3 +107,29 @@ def test_generate_dmd_pairs(tmp_path, monkeypatch):
     np.testing.assert_array_equal(item["init_noise"], n1)
     assert item["base_latent"].shape == (8, 8, 4)
     assert item["y"].shape == (8, 32) and item["y_mask"].shape == (8,)
+
+    # ---- DMD trainer CLI end-to-end on the generated pairs ----
+    # (reference train_pixart_dmd.py driven by run_pixart_dmd.py; ours takes
+    # the same teacher checkpoint + triplet root)
+    import runpy
+
+    # the over-ratio item has no generated pair; train on the first 4 only
+    monkeypatch.setattr(sys, "argv", [
+        "train_pixart_dmd.py",
+        "--data-root", str(root),
+        "--teacher", str(tmp_path / "ckpt" / "checkpoints"),
+        "--config", str(cfg_py),
+        "--sample-nums", "4",
+        "--work-dir", str(tmp_path / "dmd_run"),
+        "--batch-size", "2", "--max-steps", "2",
+        "--log-interval", "1", "--save-steps", "2",
+    ])
+    runpy.run_path(os.path.join(REPO, "scripts/train_pixart_dmd.py"),
+                   run_name="__main__")
+    out = tmp_path / "dmd_run" / "dmd_step_2.pth"
+    assert out.exists()
+    import torch
+
+    sd = torch.load(str(out), map_location="cpu", weights_only=True)["state_dict"]
+    assert any(k.startswith("blocks.") for k in sd)
+    assert all(torch.isfinite(v).all() for v in sd.values())

@@ -22,6 +22,98 @@ def _zero_noise(rng, shape, dtype=jnp.float32):
     return jnp.zeros(shape, dtype)
 
 
+def _run_parity(mode, steps, p_order, c_order, eta, pc_mode, monkeypatch,
+                algo="data_prediction", skip_type="time", stochastic=False):
+    """Run reference and our SA-Solver on the same toy problem and compare.
+
+    stochastic=True replaces the gaussian noise on BOTH sides with the same
+    deterministic per-step sequence, exercising the SDE (tau>0) noise-
+    injection points: one draw per step shared by predictor+corrector, and
+    NO draw for the PECE re-evaluation. The reference makes one extra unused
+    draw before its loop (sa_solver.py:785/941), accounted for below.
+    """
+    B, D = 2, 4
+    x0 = np.random.RandomState(6).randn(B, D).astype(np.float64)
+    tau_fn = lambda t: eta if 0.2 <= t <= 0.8 else 0.0
+    # deterministic "noise" sequence indexed by step (f64)
+    vals = [np.random.RandomState(1000 + s).randn(B, D) for s in range(steps + 2)]
+
+    # ---- reference (float64) ----
+    if stochastic:
+        ref_count = {"n": 0}
+
+        def fake_randn_like(x):
+            v = vals[ref_count["n"]]  # call 0 is the reference's unused draw
+            ref_count["n"] += 1
+            return torch.from_numpy(v)
+
+        monkeypatch.setattr(ref_sa.torch, "randn_like", fake_randn_like,
+                            raising=True)
+    else:
+        monkeypatch.setattr(
+            ref_sa.torch, "randn_like", lambda x: torch.zeros_like(x),
+            raising=True,
+        )
+    ref_ns = ref_sa.NoiseScheduleVP(
+        "discrete",
+        betas=torch.tensor(BETAS, dtype=torch.float64),
+        dtype=torch.float64,
+    )
+
+    def ref_model(x, t_cont):
+        t_input = (t_cont - 1.0 / ref_ns.total_N) * 1000.0
+        return torch.tanh(x @ torch.from_numpy(FAKE_W)) * (
+            1.0 + t_input[0] / 2000.0
+        )
+
+    ref_solver = ref_sa.SASolver(ref_model, ref_ns, algorithm_type=algo)
+    want = ref_solver.sample(
+        mode=mode,
+        x=torch.from_numpy(x0),
+        tau=tau_fn,
+        steps=steps,
+        skip_type=skip_type,
+        skip_order=1,
+        predictor_order=p_order,
+        corrector_order=c_order,
+        pc_mode=pc_mode,
+    ).numpy()
+
+    # ---- ours (float64 via enable_x64) ----
+    ns = NoiseScheduleVP("discrete", betas=BETAS)
+
+    def model_fn(x, t_cont):
+        t_input = (jnp.asarray(t_cont) - 1.0 / ns.total_N) * 1000.0
+        return jnp.tanh(x @ FAKE_W) * (1.0 + t_input / 2000.0)
+
+    if stochastic:
+        our_count = {"n": 1}  # our first draw is the reference's call #1
+
+        def noise_fn(rng, shape, dtype=jnp.float64):
+            v = vals[our_count["n"]]
+            our_count["n"] += 1
+            return jnp.asarray(v, dtype)
+    else:
+        noise_fn = _zero_noise
+
+    solver = SASolver(model_fn, ns, algorithm_type=algo)
+    with jax.enable_x64(True):
+        got = solver.sample(
+            mode,
+            jnp.asarray(x0),
+            tau_fn,
+            steps,
+            jax.random.PRNGKey(0),
+            skip_type=skip_type,
+            skip_order=1,
+            predictor_order=p_order,
+            corrector_order=c_order,
+            pc_mode=pc_mode,
+            noise_fn=noise_fn,
+        )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-8)
+
+
 @pytest.mark.parametrize(
     "mode,steps,p_order,c_order,eta,pc_mode",
     [
@@ -37,62 +129,52 @@ def _zero_noise(rng, shape, dtype=jnp.float32):
 )
 def test_sa_solver_matches_reference(mode, steps, p_order, c_order, eta,
                                      pc_mode, monkeypatch):
-    B, D = 2, 4
-    x0 = np.random.RandomState(6).randn(B, D).astype(np.float64)
-    tau_fn = lambda t: eta if 0.2 <= t <= 0.8 else 0.0
+    _run_parity(mode, steps, p_order, c_order, eta, pc_mode, monkeypatch)
 
-    # ---- reference (float64, zero noise) ----
-    monkeypatch.setattr(
-        ref_sa.torch, "randn_like", lambda x: torch.zeros_like(x), raising=True
-    )
-    ref_ns = ref_sa.NoiseScheduleVP(
-        "discrete",
-        betas=torch.tensor(BETAS, dtype=torch.float64),
-        dtype=torch.float64,
-    )
 
-    def ref_model(x, t_cont):
-        t_input = (t_cont - 1.0 / ref_ns.total_N) * 1000.0
-        return torch.tanh(x @ torch.from_numpy(FAKE_W)) * (
-            1.0 + t_input[0] / 2000.0
-        )
+@pytest.mark.parametrize(
+    "mode,steps,p_order,c_order,eta,pc_mode",
+    [
+        ("few_steps", 8, 2, 2, 1.0, "PEC"),
+        ("few_steps", 10, 3, 4, 0.7, "PECE"),
+        ("more_steps", 10, 2, 2, 1.0, "PECE"),
+    ],
+)
+def test_sa_solver_stochastic_matches_reference(mode, steps, p_order, c_order,
+                                                eta, pc_mode, monkeypatch):
+    """SDE path with real (deterministic-sequence) noise: verifies the noise
+    injection points and coefficients, incl. that a PECE re-evaluation does
+    not consume a draw (reference sa_solver.py:829-833,985-988)."""
+    _run_parity(mode, steps, p_order, c_order, eta, pc_mode, monkeypatch,
+                stochastic=True)
 
-    ref_solver = ref_sa.SASolver(ref_model, ref_ns, algorithm_type="data_prediction")
-    want = ref_solver.sample(
-        mode=mode,
-        x=torch.from_numpy(x0),
-        tau=tau_fn,
-        steps=steps,
-        skip_type="time",
-        skip_order=1,
-        predictor_order=p_order,
-        corrector_order=c_order,
-        pc_mode=pc_mode,
-    ).numpy()
 
-    # ---- ours (float64 via enable_x64, zero noise) ----
-    ns = NoiseScheduleVP("discrete", betas=BETAS)
+@pytest.mark.parametrize(
+    "mode,steps,p_order,c_order,eta,pc_mode",
+    [
+        ("few_steps", 8, 2, 2, 1.0, "PEC"),
+        ("few_steps", 10, 3, 4, 0.7, "PECE"),
+        ("more_steps", 10, 2, 2, 0.5, "PECE"),
+    ],
+)
+def test_sa_solver_noise_prediction_matches_reference(
+        mode, steps, p_order, c_order, eta, pc_mode, monkeypatch):
+    """algorithm_type='noise_prediction' (reference sa_solver.py:339-344) —
+    the eps-space Adams updates, previously only data_prediction was
+    golden-tested."""
+    _run_parity(mode, steps, p_order, c_order, eta, pc_mode, monkeypatch,
+                algo="noise_prediction")
 
-    def model_fn(x, t_cont):
-        t_input = (jnp.asarray(t_cont) - 1.0 / ns.total_N) * 1000.0
-        return jnp.tanh(x @ FAKE_W) * (1.0 + t_input / 2000.0)
 
-    solver = SASolver(model_fn, ns, algorithm_type="data_prediction")
-    with jax.enable_x64(True):
-        got = solver.sample(
-            mode,
-            jnp.asarray(x0),
-            tau_fn,
-            steps,
-            jax.random.PRNGKey(0),
-            skip_type="time",
-            skip_order=1,
-            predictor_order=p_order,
-            corrector_order=c_order,
-            pc_mode=pc_mode,
-            noise_fn=_zero_noise,
-        )
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-8)
+@pytest.mark.parametrize("skip_type", ["logSNR", "karras"])
+@pytest.mark.parametrize("mode,pc_mode", [("few_steps", "PEC"),
+                                          ("more_steps", "PECE")])
+def test_sa_solver_skip_types_match_reference(mode, pc_mode, skip_type,
+                                              monkeypatch):
+    """skip_type='logSNR'/'karras' timestep spacings (reference
+    sa_solver.py:398-418)."""
+    _run_parity(mode, 10, 2, 2, 0.7, pc_mode, monkeypatch,
+                skip_type=skip_type)
 
 
 def test_sa_scan_matches_unrolled():
