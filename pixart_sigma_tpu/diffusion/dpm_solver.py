@@ -888,6 +888,7 @@ class DPMSolver:
         state_model_fn=None,
         model_state=None,
         refresh_mask=None,
+        return_state: bool = False,
     ):
         """Multistep dpmsolver++ order<=2 as one lax.scan.
 
@@ -960,6 +961,8 @@ class DPMSolver:
         x_final = f32(sr[-1]) * xc - f32(aphi[-1]) * (
             m0 + f32(c1[-1]) * (m0 - m1)
         )
+        if return_state:
+            return x_final, state
         return x_final
 
 
