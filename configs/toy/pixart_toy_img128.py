@@ -41,8 +41,10 @@ gradient_clip = 1.0
 log_interval = 50
 save_model_steps = 2000
 save_model_epochs = 250  # toy epochs are 8 steps; default-1 would save every 8s
-# 0.9999 needs ~20k steps to forget the random init; toy runs are ~4k steps
-ema_rate = 0.99
+# ema_warmup (default on) debiases the EMA so the production 0.9999 works
+# even for short runs (effective rate ramps (1+s)/(10+s) -> 0.9999); the
+# round-2 workaround of lowering ema_rate to 0.99 is no longer needed.
+ema_rate = 0.9999
 eval_sampling_steps = 1000
 deterministic_validation = True
 real_prompt_ratio = 1.0

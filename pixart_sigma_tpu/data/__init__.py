@@ -24,5 +24,9 @@ from pixart_sigma_tpu.data.datasets import (  # noqa: F401
     PixArtDataset,
     PixArtMSDataset,
 )
-from pixart_sigma_tpu.data.sampler import AspectRatioBatchSampler  # noqa: F401
+from pixart_sigma_tpu.data.sampler import (  # noqa: F401
+    AspectRatioBatchSampler,
+    BalancedAspectRatioBatchSampler,
+    ShardedBatchSampler,
+)
 from pixart_sigma_tpu.data.loader import DataLoader  # noqa: F401

@@ -61,7 +61,9 @@ class PixArtDataset:
         self.max_length = max_length
         self.real_prompt_ratio = real_prompt_ratio
         self.dialect = dialect
-        self.rng = random.Random(seed)
+        self.seed = seed
+        self.epoch = 0
+        self.rng = random.Random(seed)  # retry resampling only (stateful)
 
         jsons = image_list_json if isinstance(image_list_json, list) else [image_list_json]
         max_ratio = 4.5 if dialect == "sigma" else 4.0
@@ -78,6 +80,11 @@ class PixArtDataset:
 
     def __len__(self) -> int:
         return len(self.meta)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Fresh per-epoch randomness for the keyed draws below (the batch
+        samplers forward their set_epoch here)."""
+        self.epoch = epoch
 
     # ------------------------------------------------------------- paths
     def _paths(self, item: Dict[str, Any], real_prompt: bool):
@@ -106,11 +113,18 @@ class PixArtDataset:
         return img, txt, vae
 
     # ----------------------------------------------------------- loaders
-    def _load_vae(self, path: str) -> np.ndarray:
-        """[mean, std] concat .npy -> sampled latent, channel-last."""
+    def _load_vae(self, path: str, index: int) -> np.ndarray:
+        """[mean, std] concat .npy -> sampled latent, channel-last.
+
+        The posterior draw is keyed on (seed, item index), not a stateful
+        stream: item i yields the same latent regardless of access order —
+        required for multi-host consistency (each process reads a disjoint
+        index stripe) and resume stability. The reference inherits a
+        stateful draw from torch's global RNG (InternalData.py:128-132).
+        """
         arr = np.load(path)  # [2C, h, w] (torch layout)
         mean, std = np.split(arr, 2, axis=0)
-        z = np.random.default_rng(self.rng.getrandbits(32)).standard_normal(
+        z = np.random.default_rng((self.seed, self.epoch, index)).standard_normal(
             mean.shape, dtype=np.float32
         )
         latent = mean + std * z
@@ -150,11 +164,16 @@ class PixArtDataset:
 
     def getdata(self, index: int) -> Dict[str, Any]:
         item = self.meta[index]
-        real_prompt = self.rng.random() < self.real_prompt_ratio
+        # dual-caption choice keyed on (seed, index): order-independent
+        # (multi-host + resume safe); spec InternalData.py:250-258
+        real_prompt = (
+            random.Random(f"{self.seed}/{self.epoch}/{index}").random()
+            < self.real_prompt_ratio
+        )
         img_path, txt_path, vae_path = self._paths(item, real_prompt)
         out: Dict[str, Any] = self._data_info(item)
         if self.load_vae_feat:
-            out["latents"] = self._load_vae(vae_path)
+            out["latents"] = self._load_vae(vae_path, index)
         else:
             out["image"] = self._transform_image(item, img_path)
         if self.load_t5_feat:

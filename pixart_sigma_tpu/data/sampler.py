@@ -43,6 +43,8 @@ class AspectRatioBatchSampler:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __iter__(self) -> Iterator[List[int]]:
         order = list(range(len(self.dataset)))
@@ -68,6 +70,45 @@ class AspectRatioBatchSampler:
     def __len__(self) -> int:
         # lower bound: full batches only
         return max(1, len(self.dataset) // self.batch_size)
+
+
+class ShardedBatchSampler:
+    """Per-process view of a global batch sampler (multi-host training).
+
+    torch-DistributedSampler semantics (the reference gets these from
+    accelerate's per-rank sharding, train_scripts/train.py:310-326): every
+    process constructs the IDENTICAL global batch sequence (same seed + same
+    set_epoch), and rank r keeps the contiguous slice
+    ``global_batch[r*B_local : (r+1)*B_local]``. Concatenating the per-rank
+    slices in rank order reproduces the single-process global batch exactly,
+    which is what `jax.make_array_from_process_local_data` assumes when the
+    batch axis is sharded over a process-ordered mesh.
+
+    The wrapped sampler must be built with the GLOBAL batch size
+    (``B_local * num_replicas``); short (non-divisible) trailing batches are
+    dropped so every rank always steps in lockstep.
+    """
+
+    def __init__(self, global_sampler, local_batch_size: int,
+                 num_replicas: int, rank: int):
+        assert 0 <= rank < num_replicas, (rank, num_replicas)
+        self.global_sampler = global_sampler
+        self.local_batch_size = local_batch_size
+        self.num_replicas = num_replicas
+        self.rank = rank
+
+    def set_epoch(self, epoch: int) -> None:
+        self.global_sampler.set_epoch(epoch)
+
+    def __iter__(self) -> Iterator[List[int]]:
+        lo = self.rank * self.local_batch_size
+        hi = lo + self.local_batch_size
+        for batch in self.global_sampler:
+            if len(batch) == self.local_batch_size * self.num_replicas:
+                yield batch[lo:hi]
+
+    def __len__(self) -> int:
+        return len(self.global_sampler)
 
 
 class BalancedAspectRatioBatchSampler(AspectRatioBatchSampler):

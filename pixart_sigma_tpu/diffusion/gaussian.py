@@ -233,6 +233,32 @@ class GaussianDiffusion:
             "pred_xstart": pred_xstart,
         }
 
+    # -------------------------------------------------- classifier guidance
+    def condition_mean(self, cond_fn, p_mean_var, x, t):
+        """Shift the posterior mean by variance * grad(log p(y|x)).
+
+        Sohl-Dickstein-style conditioning; spec gaussian_diffusion.py:375-388.
+        `cond_fn(x, t) -> gradient` (the caller closes over y / model_kwargs).
+        """
+        gradient = cond_fn(x, t)
+        return p_mean_var["mean"].astype(jnp.float32) + p_mean_var[
+            "variance"
+        ] * gradient.astype(jnp.float32)
+
+    def condition_score(self, cond_fn, p_mean_var, x, t):
+        """Condition the model's score function (Song et al. 2020);
+        spec gaussian_diffusion.py:390-404. Returns an updated p_mean_var."""
+        nd = x.ndim
+        alpha_bar = extract(self.coef.alphas_cumprod, t, nd)
+        eps = self.predict_eps_from_xstart(x, t, p_mean_var["pred_xstart"])
+        eps = eps - jnp.sqrt(1.0 - alpha_bar) * cond_fn(x, t)
+        out = dict(p_mean_var)
+        out["pred_xstart"] = self.predict_xstart_from_eps(x, t, eps)
+        out["mean"], _, _ = self.q_posterior_mean_variance(
+            out["pred_xstart"], x, t
+        )
+        return out
+
     # ---------------------------------------------------------------- sampling
     def p_sample(
         self,
@@ -242,11 +268,14 @@ class GaussianDiffusion:
         rng: jax.Array,
         clip_denoised: bool = True,
         denoised_fn: Optional[Callable] = None,
+        cond_fn: Optional[Callable] = None,
     ):
         """One ancestral sampling step x_t -> x_{t-1}."""
         out = self.p_mean_variance(
             model_fn(x, t), x, t, clip_denoised=clip_denoised, denoised_fn=denoised_fn
         )
+        if cond_fn is not None:  # classifier guidance (spec :426-427)
+            out["mean"] = self.condition_mean(cond_fn, out, x, t)
         noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
         nonzero = (t != 0).astype(x.dtype).reshape(-1, *((1,) * (x.ndim - 1)))
         sample = out["mean"] + nonzero * jnp.exp(0.5 * out["log_variance"]) * noise
@@ -260,6 +289,7 @@ class GaussianDiffusion:
         noise: Optional[jnp.ndarray] = None,
         clip_denoised: bool = True,
         denoised_fn: Optional[Callable] = None,
+        cond_fn: Optional[Callable] = None,
         timestep_map: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Full ancestral trajectory as one lax.scan (T model calls on-device).
@@ -286,6 +316,8 @@ class GaussianDiffusion:
                 clip_denoised=clip_denoised,
                 denoised_fn=denoised_fn,
             )
+            if cond_fn is not None:
+                out["mean"] = self.condition_mean(cond_fn, out, x, t)
             z = jax.random.normal(step_rng, x.shape, dtype=x.dtype)
             nonzero = (t != 0).astype(x.dtype).reshape(-1, *((1,) * (x.ndim - 1)))
             x = out["mean"] + nonzero * jnp.exp(0.5 * out["log_variance"]) * z
@@ -303,6 +335,7 @@ class GaussianDiffusion:
         noise: Optional[jnp.ndarray] = None,
         clip_denoised: bool = True,
         eta: float = 0.0,
+        cond_fn: Optional[Callable] = None,
         timestep_map: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """DDIM trajectory as one lax.scan. Spec: gaussian_diffusion.py:542-652."""
@@ -320,6 +353,8 @@ class GaussianDiffusion:
             out = self.p_mean_variance(
                 model_fn(x, t_model), x, t, clip_denoised=clip_denoised
             )
+            if cond_fn is not None:  # score conditioning (spec :529-541)
+                out = self.condition_score(cond_fn, out, x, t)
             eps = self.predict_eps_from_xstart(x, t, out["pred_xstart"])
             alpha_bar = extract(c.alphas_cumprod, t, nd)
             alpha_bar_prev = extract(c.alphas_cumprod_prev, t, nd)
@@ -339,6 +374,68 @@ class GaussianDiffusion:
 
         idx = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
         x, _ = jax.lax.scan(body, x, (idx, step_rngs))
+        return x
+
+    def ddim_reverse_sample(
+        self,
+        model_output: jnp.ndarray,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        clip_denoised: bool = True,
+        denoised_fn: Optional[Callable] = None,
+        cond_fn: Optional[Callable] = None,
+        eta: float = 0.0,
+    ):
+        """One DDIM reverse-ODE step x_t -> x_{t+1} (inversion).
+
+        Spec: gaussian_diffusion.py:591-628. Deterministic only (eta=0).
+        """
+        assert eta == 0.0, "Reverse ODE only for deterministic path"
+        out = self.p_mean_variance(
+            model_output, x, t, clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn,
+        )
+        if cond_fn is not None:
+            out = self.condition_score(cond_fn, out, x, t)
+        c = self.coef
+        nd = x.ndim
+        # re-derive eps in case the model predicts x_start or x_prev
+        eps = (
+            extract(c.sqrt_recip_alphas_cumprod, t, nd) * x
+            - out["pred_xstart"]
+        ) / extract(c.sqrt_recipm1_alphas_cumprod, t, nd)
+        alpha_bar_next = extract(c.alphas_cumprod_next, t, nd)
+        mean_pred = (
+            out["pred_xstart"] * jnp.sqrt(alpha_bar_next)
+            + jnp.sqrt(1.0 - alpha_bar_next) * eps
+        )
+        return {"sample": mean_pred, "pred_xstart": out["pred_xstart"]}
+
+    def ddim_reverse_sample_loop(
+        self,
+        model_fn: ModelFn,
+        x: jnp.ndarray,
+        clip_denoised: bool = True,
+        timestep_map: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Full inversion x_0 -> x_T as one lax.scan (t = 0 .. T-1).
+
+        Composes the reference's ddim_reverse_sample step (:591-628) into the
+        TPU-native trajectory form (the reference leaves loop composition to
+        the caller).
+        """
+        T = self.num_timesteps
+        B = x.shape[0]
+
+        def body(x, i):
+            t = jnp.full((B,), i, dtype=jnp.int32)
+            t_model = jnp.take(timestep_map, t) if timestep_map is not None else t
+            out = self.ddim_reverse_sample(
+                model_fn(x, t_model), x, t, clip_denoised=clip_denoised
+            )
+            return out["sample"], None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(T, dtype=jnp.int32))
         return x
 
     # -------------------------------------------------------------------- VLB
@@ -442,6 +539,96 @@ class GaussianDiffusion:
         terms["pred_xstart"] = pred_xstart
         terms["x_t"] = x_t
         return terms
+
+    def training_losses_diffusers(
+        self,
+        model_fn: ModelFn,
+        x_start: jnp.ndarray,
+        timestep: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+        noise: Optional[jnp.ndarray] = None,
+        skip_noise: bool = False,
+        return_startx: bool = False,
+    ):
+        """Diffusers-convention loss entry; spec gaussian_diffusion.py:857-956.
+
+        The reference variant exists to call HF Transformer2DModel
+        (`model(x_t, timestep=t, ..., return_dict=False)[0]`); the math is
+        identical to `training_losses`. Here `model_fn(x_t, timestep=t)`
+        returns the channel-last tensor; `return_startx` mirrors the
+        reference's return_startx early-exit (:894-898, used by LCM).
+        """
+        t = timestep
+        if skip_noise:
+            x_t = x_start
+        else:
+            if noise is None:
+                noise = jax.random.normal(rng, x_start.shape, dtype=x_start.dtype)
+            x_t = self.q_sample(x_start, t, noise)
+        wrapped = lambda x, tt: model_fn(x, timestep=tt)
+        if return_startx and self.model_mean_type == ModelMeanType.EPSILON:
+            output, _ = self._split_output(wrapped(x_t, t), x_t)
+            return output, self.predict_xstart_from_eps(x_t, t, output), x_t
+        return self.training_losses(
+            wrapped, x_start, t, noise=noise, skip_noise=skip_noise
+        )
+
+    # --------------------------------------------------------------- NLL eval
+    def prior_bpd(self, x_start: jnp.ndarray) -> jnp.ndarray:
+        """Prior KL term of the VLB in bits/dim; spec :957-972."""
+        B = x_start.shape[0]
+        t = jnp.full((B,), self.num_timesteps - 1, dtype=jnp.int32)
+        qt_mean, _, qt_log_variance = self.q_mean_variance(x_start, t)
+        kl_prior = normal_kl(qt_mean, qt_log_variance, 0.0, 0.0)
+        return mean_flat(kl_prior) / jnp.log(2.0)
+
+    def calc_bpd_loop(
+        self,
+        model_fn: ModelFn,
+        x_start: jnp.ndarray,
+        rng: jax.Array,
+        clip_denoised: bool = True,
+        timestep_map: Optional[jnp.ndarray] = None,
+    ):
+        """Full variational lower bound in bits/dim; spec :974-1027.
+
+        One lax.scan over t = T-1 .. 0 (the reference's python loop), each
+        step drawing fresh noise and evaluating the VLB term. Returns
+        total_bpd/prior_bpd [B] and vb/xstart_mse/mse [B, T] (T-major order
+        matching the reference's stacking: column j is timestep T-1-j).
+        """
+        T = self.num_timesteps
+        B = x_start.shape[0]
+        step_rngs = jax.random.split(rng, T)
+
+        def body(carry, inp):
+            i, step_rng = inp  # T-1 .. 0
+            t = jnp.full((B,), i, dtype=jnp.int32)
+            t_model = jnp.take(timestep_map, t) if timestep_map is not None else t
+            noise = jax.random.normal(step_rng, x_start.shape, x_start.dtype)
+            x_t = self.q_sample(x_start, t, noise)
+            out = self.vb_terms_bpd(
+                model_fn(x_t, t_model), x_start, x_t, t,
+                clip_denoised=clip_denoised,
+            )
+            eps = self.predict_eps_from_xstart(x_t, t, out["pred_xstart"])
+            return carry, {
+                "vb": out["output"],
+                "xstart_mse": mean_flat((out["pred_xstart"] - x_start) ** 2),
+                "mse": mean_flat((eps - noise) ** 2),
+            }
+
+        idx = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+        _, seq = jax.lax.scan(body, 0, (idx, step_rngs))
+        vb = jnp.swapaxes(seq["vb"], 0, 1)  # [B, T]
+        prior = self.prior_bpd(x_start)
+        return {
+            "total_bpd": vb.sum(axis=1) + prior,
+            "prior_bpd": prior,
+            "vb": vb,
+            "xstart_mse": jnp.swapaxes(seq["xstart_mse"], 0, 1),
+            "mse": jnp.swapaxes(seq["mse"], 0, 1),
+        }
 
     def training_losses_startx(self, model_fn, x_start, t, rng=None, noise=None):
         """LCM path: return (eps_pred, pred_x0, x_t); spec :786-790."""

@@ -40,6 +40,48 @@ def cosine_beta_schedule(num_timesteps: int, max_beta: float = 0.999) -> np.ndar
     return betas
 
 
+def _warmup_beta(
+    beta_start: float, beta_end: float, num_timesteps: int, warmup_frac: float
+) -> np.ndarray:
+    betas = beta_end * np.ones(num_timesteps, dtype=np.float64)
+    warmup_time = int(num_timesteps * warmup_frac)
+    betas[:warmup_time] = np.linspace(
+        beta_start, beta_end, warmup_time, dtype=np.float64
+    )
+    return betas
+
+
+def get_beta_schedule(
+    beta_schedule: str, *, beta_start: float, beta_end: float, num_timesteps: int
+) -> np.ndarray:
+    """Legacy (deprecated-API) beta schedules; spec
+    gaussian_diffusion.py:66-98: quad / linear / warmup10 / warmup50 /
+    const / jsd."""
+    if beta_schedule == "quad":
+        betas = (
+            np.linspace(
+                beta_start**0.5, beta_end**0.5, num_timesteps, dtype=np.float64
+            )
+            ** 2
+        )
+    elif beta_schedule == "linear":
+        betas = np.linspace(beta_start, beta_end, num_timesteps, dtype=np.float64)
+    elif beta_schedule == "warmup10":
+        betas = _warmup_beta(beta_start, beta_end, num_timesteps, 0.1)
+    elif beta_schedule == "warmup50":
+        betas = _warmup_beta(beta_start, beta_end, num_timesteps, 0.5)
+    elif beta_schedule == "const":
+        betas = beta_end * np.ones(num_timesteps, dtype=np.float64)
+    elif beta_schedule == "jsd":  # 1/T, 1/(T-1), ..., 1
+        betas = 1.0 / np.linspace(
+            num_timesteps, 1, num_timesteps, dtype=np.float64
+        )
+    else:
+        raise NotImplementedError(beta_schedule)
+    assert betas.shape == (num_timesteps,)
+    return betas
+
+
 _SCHEDULES = {
     "linear": linear_beta_schedule,
     "squaredcos_cap_v2": cosine_beta_schedule,

@@ -126,12 +126,9 @@ def make_lcm_train_step(
             state.params, teacher_params, batch, index, noise, uncond_y,
             state.ema_params,
         )
-        # apply_gradients does the usual EMA (0.9999); LCM wants ema_decay,
-        # so recompute the target EMA explicitly
-        new_state = state.apply_gradients(grads)
-        new_state = new_state.replace(
-            ema_params=ema_update(state.ema_params, new_state.params, ema_decay)
-        )
+        # the EMA target network uses ema_decay (0.95, spec :301-309) — one
+        # EMA computation, overriding the state's default rate
+        new_state = state.apply_gradients(grads, ema_rate=ema_decay)
         return new_state, {"loss": loss}
 
     return train_step

@@ -26,6 +26,7 @@ from pixart_sigma_tpu.data import (
     DataLoader,
     PixArtDataset,
     PixArtMSDataset,
+    ShardedBatchSampler,
     aspect_ratio_table,
 )
 from pixart_sigma_tpu.diffusion import IDDPM
@@ -88,7 +89,11 @@ class Trainer:
         self.config = config
         self.work_dir = work_dir or config.work_dir
         os.makedirs(self.work_dir, exist_ok=True)
-        config.dump(os.path.join(self.work_dir, "config.py.dump"))
+        # The writers below are all rank-aware internally (file handles on
+        # process 0 only — reference diffusion/utils/logger.py:26-84); the
+        # config dump is guarded here.
+        if jax.process_index() == 0:
+            config.dump(os.path.join(self.work_dir, "config.py.dump"))
         self.logger = get_logger(work_dir=self.work_dir)
         self.metrics = MetricsWriter(self.work_dir)
         tracker = Tracker(self.work_dir, config.get("report_to"))
@@ -112,7 +117,10 @@ class Trainer:
         # total_steps = len(train_dataloader) * num_epochs — we mirror that in
         # train(); a direct init_state() call falls back to a default horizon.
         opt_cfg = dict(config.optimizer)
-        world_batch = config.train_batch_size * jax.device_count()
+        # effective global batch = per-process batch x process count (the
+        # per-process batch is already sharded over that process's devices);
+        # reference: train_batch_size(per-GPU) * world_size, optimizer.py:18-28
+        world_batch = config.train_batch_size * jax.process_count()
         if config.get("auto_lr"):  # reference train.py:448: `if config.auto_lr`
             lr, self.lr_scale_ratio = auto_scale_lr(
                 opt_cfg.pop("lr"), world_batch, rule=config.auto_lr["rule"]
@@ -203,12 +211,16 @@ class Trainer:
             init_kwargs = dict(
                 img_hw=jnp.ones((B, 2)), aspect_ratio=jnp.ones((B, 1))
             )
+        # init from SHAPES only, on host-local zeros: params depend on shapes
+        # + the (process-identical) seed, never on batch values. Keeps init
+        # out of multi-host op-by-op semantics — the jitted step's
+        # in_shardings place the replicated params onto the global mesh.
         params = self.model.init(
             {"params": rng, "caption_drop": jax.random.fold_in(rng, 1)},
-            jnp.asarray(example_batch["latents"]),
+            jnp.zeros(example_batch["latents"].shape, jnp.float32),
             jnp.zeros((B,)),
-            jnp.asarray(example_batch["y"]),
-            jnp.asarray(example_batch["y_mask"]),
+            jnp.zeros(example_batch["y"].shape, jnp.float32),
+            jnp.ones(example_batch["y_mask"].shape, jnp.int32),
             train=True,
             **init_kwargs,
         )["params"]
@@ -216,7 +228,8 @@ class Trainer:
             self.logger.info(f"loading weights from {cfg.load_from}")
             params = ckpt_io.load_checkpoint(cfg.load_from, self.model.cfg)
         self.state = TrainState.create(
-            params=params, tx=self.tx, ema=True, ema_rate=cfg.ema_rate
+            params=params, tx=self.tx, ema=True, ema_rate=cfg.ema_rate,
+            ema_warmup=cfg.get("ema_warmup", True),
         )
         n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
         self.logger.info(f"model params: {n_params / 1e6:.1f} M")
@@ -236,15 +249,26 @@ class Trainer:
     def build_loader(self, skip_batches: int = 0):
         cfg = self.config
         dataset = build_dataset(cfg)
+        # Multi-host: config.train_batch_size is the PER-PROCESS batch;
+        # every process builds the same (seeded) global-batch sequence at
+        # batch_size * process_count and keeps its rank slice. Reference
+        # equivalent: accelerate's per-rank data sharding
+        # (train_scripts/train.py:310-326).
+        n_proc = jax.process_count()
+        global_bs = cfg.train_batch_size * n_proc
         if cfg.get("multi_scale"):
             table = aspect_ratio_table(cfg.aspect_ratio_type or cfg.image_size)
             sampler = AspectRatioBatchSampler(
-                dataset, cfg.train_batch_size, table,
+                dataset, global_bs, table,
                 valid_num=cfg.get("valid_num", 0), seed=cfg.seed,
             )
         else:
             sampler = _SimpleBatchSampler(
-                len(dataset), cfg.train_batch_size, seed=cfg.seed
+                len(dataset), global_bs, seed=cfg.seed, dataset=dataset
+            )
+        if n_proc > 1:
+            sampler = ShardedBatchSampler(
+                sampler, cfg.train_batch_size, n_proc, jax.process_index()
             )
         return DataLoader(
             dataset, sampler, num_workers=cfg.get("num_workers", 4),
@@ -278,7 +302,11 @@ class Trainer:
             self._encode_jit = jax.jit(enc)
         # Deterministic per-step key (reproducible + resume-stable); the
         # reference inherits determinism from torch's seeded global RNG.
+        # Fold in the process index so multi-host posterior draws are iid
+        # across ranks (each rank encodes a disjoint slice of the batch).
         rng = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), step)
+        if jax.process_count() > 1:
+            rng = jax.random.fold_in(rng, jax.process_index())
         return self._encode_jit(self.vae_params, jnp.asarray(images), rng)
 
     def prepare_batch(
@@ -301,10 +329,24 @@ class Trainer:
         if self.model.cfg.micro_condition:
             out["img_hw"] = batch["img_hw"]
             out["aspect_ratio"] = batch["aspect_ratio"]
-        return {
-            k: jax.device_put(np.asarray(v), self.batch_sharding)
-            for k, v in out.items()
-        }
+        return {k: self._put_global(v) for k, v in out.items()}
+
+    def _put_global(self, v) -> jax.Array:
+        """Host-local batch slice -> global sharded array on the mesh.
+
+        Single-process: a plain device_put with the batch sharding. Multi-
+        process: each rank contributes its local rows; the global batch is
+        the rank-ordered concatenation (matching ShardedBatchSampler's
+        slicing), assembled with jax.make_array_from_process_local_data —
+        the pattern the reference gets from accelerate's DDP data sharding.
+        """
+        arr = np.asarray(v)
+        if jax.process_count() == 1:
+            return jax.device_put(arr, self.batch_sharding)
+        global_shape = (arr.shape[0] * jax.process_count(),) + arr.shape[1:]
+        return jax.make_array_from_process_local_data(
+            self.batch_sharding, arr, global_shape
+        )
 
     def train(self, max_steps: Optional[int] = None) -> TrainState:
         cfg = self.config
@@ -400,32 +442,44 @@ class Trainer:
         )
         from pixart_sigma_tpu.diffusion.schedules import named_beta_schedule
 
+        from pixart_sigma_tpu.parallel.mesh import replicated
+
         cfg = self.config
-        params = {"params": self.state.ema_params or self.state.params}
-        y = batch_dev["y"][:2]
-        mask = jnp.concatenate([batch_dev["y_mask"][:2]] * 2, axis=0)
-        null_y = jnp.broadcast_to(
-            self.state.params["y_embedder"]["y_embedding"][None], y.shape
-        ).astype(y.dtype)
-        lat_shape = batch_dev["latents"][:2].shape
         ns = NoiseScheduleVP(
             "discrete", betas=named_beta_schedule("linear", cfg.train_sampling_steps)
         )
-
-        def apply_fn(x, t_vec, cond, **kw):
-            out = self.model.apply(params, x, t_vec, cond, mask)
-            return out[..., :4]
-
-        model_fn = make_cfg_model_fn(
-            apply_fn, ns, condition=y, uncondition=null_y,
-            cfg_scale=cfg.get("cfg_scale", 4.5),
-        )
-        solver = DPMSolver(model_fn, ns)
+        n = min(2, batch_dev["latents"].shape[0])
         seed = cfg.seed if cfg.get("deterministic_validation") else step
-        noise = jax.random.normal(jax.random.PRNGKey(seed), lat_shape)
-        latents = jax.jit(
-            lambda x: solver.sample(x, steps=14, order=2)
-        )(noise)
+
+        # Multiprocess-safe: params/batch enter as (global) jit arguments —
+        # never closed over (a closure bakes them in as constants, CLAUDE.md)
+        # — noise comes from a static seed inside the program, and the output
+        # is replicated so every process (and rank 0's numpy fetch) sees it.
+        def sample_fn(params, y, y_mask, latents):
+            y2 = y[:n]
+            mask2 = jnp.concatenate([y_mask[:n]] * 2, axis=0)
+            null_y = jnp.broadcast_to(
+                params["y_embedder"]["y_embedding"][None], y2.shape
+            ).astype(y2.dtype)
+
+            def apply_fn(x, t_vec, cond, **kw):
+                out = self.model.apply({"params": params}, x, t_vec, cond, mask2)
+                return out[..., :4]
+
+            model_fn = make_cfg_model_fn(
+                apply_fn, ns, condition=y2, uncondition=null_y,
+                cfg_scale=cfg.get("cfg_scale", 4.5),
+            )
+            solver = DPMSolver(model_fn, ns)
+            noise = jax.random.normal(
+                jax.random.PRNGKey(seed), latents[:n].shape
+            )
+            return solver.sample(noise, steps=14, order=2)
+
+        latents = jax.jit(sample_fn, out_shardings=replicated(self.mesh))(
+            self.state.ema_params or self.state.params,
+            batch_dev["y"], batch_dev["y_mask"], batch_dev["latents"],
+        )
         if jax.process_index() != 0:
             return
         latents = np.asarray(latents) / cfg.scale_factor
@@ -455,8 +509,9 @@ class Trainer:
             self.logger.info(f"validation latents -> {out}")
 
     def save(self, step: int) -> None:
-        if jax.process_index() != 0:
-            return
+        # EVERY process calls into orbax: it coordinates shard writes and
+        # barriers internally (a rank-0-only call would deadlock its sync);
+        # non-primary processes write no data for replicated arrays.
         path = ckpt_io.save_train_state(
             os.path.join(self.work_dir, "checkpoints"), self.state, step
         )
@@ -466,14 +521,17 @@ class Trainer:
 class _SimpleBatchSampler:
     """Shuffled full batches for single-scale datasets."""
 
-    def __init__(self, n: int, batch_size: int, seed: int = 0):
+    def __init__(self, n: int, batch_size: int, seed: int = 0, dataset=None):
         self.n = n
         self.batch_size = batch_size
         self.seed = seed
         self.epoch = 0
+        self.dataset = dataset
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        if self.dataset is not None and hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __iter__(self):
         import random
