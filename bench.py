@@ -3,15 +3,18 @@
 The north-star metric from BASELINE.json. Measures the full denoising
 trajectory (20 NFE, CFG-batched 2x forward, PixArt-Sigma-XL-2 0.6B, bf16,
 latents 128x128x4 = 4096 tokens) compiled as ONE jitted program on the real
-TPU chip. T5 encode and VAE decode are excluded for now (tracked; the
-reference's operating point is denoiser-bound at 20 NFE).
+TPU chip.
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
+Prints the headline JSON line FIRST (driver contract), then one additional
+row: the honest end-to-end number including the SDXL-VAE decode to 1024px
+RGB (the decode is ~arch-bound, so random weights measure the real cost).
+T5 encode stays excluded: one 300-token XXL encode per batch is amortised
+across all images of a prompt set and no weights ship in this image.
 
 The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
-reports against an A100 fp16 estimate of the same op point (~0.4 img/s at
+is an ESTIMATE against A100 fp16 at the same op point (~0.4 img/s at
 batch 1; xformers-era PixArt-Sigma 1024px ~2.5 s/img) — i.e. value/0.4.
+Each row carries a "note" saying so.
 """
 
 from __future__ import annotations
@@ -34,7 +37,11 @@ def main() -> None:
         make_cfg_model_fn,
     )
     from pixart_sigma_tpu.diffusion.schedules import named_beta_schedule
-    from pixart_sigma_tpu.models.pixart import PixArt, PixArtConfig
+    from pixart_sigma_tpu.models.pixart import (
+        PixArt,
+        PixArtConfig,
+        precompute_cross_kv,
+    )
 
     BATCH = 12  # swept 8/12/16 with the one-pass kernel: 12 is the optimum
     STEPS = 20
@@ -71,9 +78,17 @@ def main() -> None:
 
     @jax.jit
     def sample(params, x0):
+        # caption K/V hoisted out of the NFE loop (depend only on y; paid
+        # once per trajectory — measured ~3% of the step at this op point)
+        kvs = precompute_cross_kv(
+            params["params"], cfg,
+            jnp.concatenate([y_uncond, y_cond], axis=0),
+        )
+
         def apply_fn(x_in, t_vec, cond, **kw):
             out = model.apply(
-                params, x_in.astype(jnp.bfloat16), t_vec, cond, mask
+                params, x_in.astype(jnp.bfloat16), t_vec, cond, mask,
+                cross_kv=kvs,
             )
             return out[..., :4]
 
@@ -97,6 +112,7 @@ def main() -> None:
 
     img_per_sec = BATCH / dt
     baseline_a100 = 0.4  # img/s, A100 fp16 20-step DPM-Solver (see docstring)
+    note = "vs_baseline is an estimate: reference publishes no numbers; A100 fp16 ~0.4 img/s assumed"
     print(
         json.dumps(
             {
@@ -104,6 +120,41 @@ def main() -> None:
                 "value": round(img_per_sec, 4),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_per_sec / baseline_a100, 4),
+                "note": note,
+            }
+        )
+    )
+
+    # ---- honest end-to-end row: + SDXL-VAE decode to 1024px RGB ----------
+    from pixart_sigma_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    vae = AutoencoderKL(VAEConfig.sdxl())
+    vparams = jax.jit(
+        lambda: vae.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 3)), jax.random.PRNGKey(2)
+        )
+    )()
+    dec = jax.jit(
+        lambda p, z: jnp.sum(
+            vae.apply(p, z, method=AutoencoderKL.decode).astype(jnp.float32)
+        )
+    )
+    z1 = x[:1] / 0.13025  # one latent; decode is per-image (memory-bound)
+    jax.device_get(dec(vparams, z1))  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.device_get(dec(vparams, z1))
+    decode_per_img = (time.perf_counter() - t0) / iters
+    e2e = BATCH / (dt + decode_per_img * BATCH)
+    print(
+        json.dumps(
+            {
+                "metric": "1024px_images_per_sec_per_chip_e2e_sampling_plus_vae_decode",
+                "value": round(e2e, 4),
+                "unit": "img/s/chip",
+                "vs_baseline": round(e2e / baseline_a100, 4),
+                "decode_s_per_img": round(decode_per_img, 3),
+                "note": note,
             }
         )
     )

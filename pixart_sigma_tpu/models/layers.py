@@ -298,14 +298,22 @@ class MultiHeadCrossAttention(nn.Module):
         x: jnp.ndarray,  # [B, N, C]
         cond: jnp.ndarray,  # [B, L, C]
         mask: Optional[jnp.ndarray] = None,  # [B, L] valid-token mask
+        kv: Optional[jnp.ndarray] = None,  # [B, L, 2C] precomputed K/V
     ) -> jnp.ndarray:
+        """`kv`: caption K/V precomputed ONCE per trajectory (they depend
+        only on the captions, not on x_t / t — recomputing kv_linear every
+        NFE costs a measured 1.65 ms x 28 blocks ~3% of a 1024px sampler
+        step on v5e). See pixart.precompute_cross_kv."""
         B, N, C = x.shape
-        L = cond.shape[1]
         dh = C // self.num_heads
         q = nn.Dense(C, dtype=self.dtype, kernel_init=xavier, name="q_linear")(x)
-        kv = nn.Dense(2 * C, dtype=self.dtype, kernel_init=xavier, name="kv_linear")(
-            cond
-        )
+        if kv is None:
+            kv = nn.Dense(
+                2 * C, dtype=self.dtype, kernel_init=xavier, name="kv_linear"
+            )(cond)
+        else:
+            kv = kv.astype(self.dtype)
+        L = kv.shape[1]
         k, v = jnp.split(kv, 2, axis=-1)
         out = attention(
             q.reshape(B, N, self.num_heads, dh),
@@ -373,6 +381,7 @@ class PixArtBlock(nn.Module):
         y: jnp.ndarray,  # [B, L, D]
         t0: jnp.ndarray,  # [B, 6*D]
         y_mask: Optional[jnp.ndarray] = None,  # [B, L]
+        cross_kv: Optional[jnp.ndarray] = None,  # [B, L, 2D] hoisted K/V
     ) -> jnp.ndarray:
         B, N, D = x.shape
         table = self.param(
@@ -407,7 +416,7 @@ class PixArtBlock(nn.Module):
             attn_impl=self.attn_impl,
             dtype=self.dtype,
             name="cross_attn",
-        )(x, y, y_mask)
+        )(x, y, y_mask, kv=cross_kv)
         norm2 = nn.LayerNorm(
             use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
             name="norm2",

@@ -639,6 +639,97 @@ def crossattn_allheads(
     return out[:, :N].reshape(B, N, H, Dh)
 
 
+# ---------------------------------------------------------------------------
+# heads-major cross-attention (inference fast path)
+# ---------------------------------------------------------------------------
+
+def _headsmajor_kernel(q_ref, k_ref, v_ref, madd_ref, o_ref, *, scale):
+    """Per program: one batch elem, one q block, ALL heads — heads-major
+    padded layout, so every per-head access is a clean [*, 128]-aligned
+    block index. The allheads (flat-layout) kernel instead slices q/out at
+    72-lane offsets, and those cross-lane relayouts dominate its runtime at
+    production batch (measured v5e, B=24: allheads 6.5 ms vs XLA 5.8 —
+    this kernel 2.7 ms)."""
+    H = q_ref.shape[1]
+    madd = madd_ref[0, 0:1, :]  # [1, M_pad]
+    for h in range(H):
+        q = q_ref[0, h]  # [bq, P] — aligned block, no relayout
+        s = jax.lax.dot_general(
+            q, k_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + madd  # [bq, M_pad]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l
+        o_ref[0, h] = o.astype(o_ref.dtype)
+
+
+def headsmajor_supported(n: int, m: int, key_mask) -> bool:
+    m_pad = max(128, ((m + 127) // 128) * 128)
+    return key_mask is not None and n >= 512 and m_pad <= 512
+
+
+def crossattn_headsmajor(
+    q: jnp.ndarray,  # [B, N, H, Dh]
+    k: jnp.ndarray,  # [B, M, H, Dh]
+    v: jnp.ndarray,
+    key_mask: jnp.ndarray,  # [B, M] bool
+    block_q: int = 256,
+) -> jnp.ndarray:
+    """Masked cross-attention, K/V fully VMEM-resident, heads-major layout.
+
+    Forward-only fast path (inference dispatch; training falls back to the
+    flat allheads kernel / XLA, which have VJPs). The head transposes in and
+    out are HBM-bandwidth bounded (~1 ms at the 1024px op point) and are
+    more than paid for by removing the kernel-internal lane relayouts.
+    """
+    B, N, H, Dh = q.shape
+    M = k.shape[1]
+    P = 128 if Dh <= 128 else ((Dh + 127) // 128) * 128
+    m_pad = max(128, ((M + 127) // 128) * 128)
+    bq = min(block_q, max(128, ((N + 127) // 128) * 128))
+    n_pad = ((N + bq - 1) // bq) * bq
+    qh = _pad_heads(q.transpose(0, 2, 1, 3), P)  # [B, H, N, P]
+    kh = _pad_heads(k.transpose(0, 2, 1, 3), P)
+    vh = _pad_heads(v.transpose(0, 2, 1, 3), P)
+    if n_pad != N:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, n_pad - N), (0, 0)))
+    kh = jnp.pad(kh, ((0, 0), (0, 0), (0, m_pad - M), (0, 0)))
+    vh = jnp.pad(vh, ((0, 0), (0, 0), (0, m_pad - M), (0, 0)))
+    madd = jnp.where(key_mask.astype(bool), 0.0, _NEG_INF).astype(jnp.float32)
+    madd = jnp.pad(madd, ((0, 0), (0, m_pad - M)), constant_values=_NEG_INF)
+    madd = jnp.broadcast_to(madd[:, None, :], (B, 8, m_pad))
+    scale = Dh**-0.5 * _LOG2E
+
+    out = pl.pallas_call(
+        functools.partial(_headsmajor_kernel, scale=scale),
+        grid=(B, n_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, H, bq, P), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            # K/V index is i-independent: the block stays VMEM-resident
+            # across the q sweep for each batch element (no re-fetch)
+            pl.BlockSpec((1, H, m_pad, P), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, m_pad, P), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, m_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, bq, P), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, n_pad, P), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+    )(qh, kh, vh, madd)
+    return out[:, :, :N, :Dh].transpose(0, 2, 1, 3)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _allheads_core(qf, kf, vf, madd, key_mask, n_heads, d_head, bq):
     return _allheads_fwd_call(qf, kf, vf, madd, n_heads, d_head, bq)

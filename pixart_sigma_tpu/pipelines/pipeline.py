@@ -263,7 +263,8 @@ class PixArtPipeline:
         return self._latents_to_images(latents)
 
     # ---------------------------------------------------------- builders
-    def _apply_eps(self, params, x, t_vec, cond, mask, img_hw, aspect, micro):
+    def _apply_eps(self, params, x, t_vec, cond, mask, img_hw, aspect, micro,
+                   cross_kv=None):
         kwargs = {}
         if micro:
             n = x.shape[0] // img_hw.shape[0]
@@ -271,13 +272,24 @@ class PixArtPipeline:
                 img_hw=jnp.tile(img_hw, (n, 1)),
                 aspect_ratio=jnp.tile(aspect, (n, 1)),
             )
-        out = self.model.apply(params, x, t_vec, cond, mask, **kwargs)
+        out = self.model.apply(
+            params, x, t_vec, cond, mask, cross_kv=cross_kv, **kwargs
+        )
         return out[..., :4]
+
+    def _hoisted_kv(self, params, y_cat):
+        """Caption K/V for the CFG-concatenated batch, computed once per
+        trajectory instead of per NFE (saves a measured ~3% of the 1024px
+        sampler step; see models/pixart.py:precompute_cross_kv)."""
+        from pixart_sigma_tpu.models.pixart import precompute_cross_kv
+
+        return precompute_cross_kv(params["params"], self.model.cfg, y_cat)
 
     def _build_dpm(self, B, h, w, steps, cfg_scale, micro):
         def run(params, x, y, null_y, mask, img_hw, aspect):
+            kvs = self._hoisted_kv(params, jnp.concatenate([null_y, y], axis=0))
             apply_fn = lambda xi, t, c, **kw: self._apply_eps(
-                params, xi, t, c, mask, img_hw, aspect, micro
+                params, xi, t, c, mask, img_hw, aspect, micro, cross_kv=kvs
             )
             model_fn = make_cfg_model_fn(
                 apply_fn, self.ns, condition=y, uncondition=null_y,
@@ -292,8 +304,9 @@ class PixArtPipeline:
         from pixart_sigma_tpu.diffusion.deis import DEISMultistep
 
         def run(params, x, y, null_y, mask, img_hw, aspect):
+            kvs = self._hoisted_kv(params, jnp.concatenate([null_y, y], axis=0))
             apply_fn = lambda xi, t, c, **kw: self._apply_eps(
-                params, xi, t, c, mask, img_hw, aspect, micro
+                params, xi, t, c, mask, img_hw, aspect, micro, cross_kv=kvs
             )
             model_fn = make_cfg_model_fn(
                 apply_fn, self.ns, condition=y, uncondition=null_y,
@@ -306,8 +319,9 @@ class PixArtPipeline:
 
     def _build_sde_dpm(self, B, h, w, steps, cfg_scale, micro):
         def run(params, x, y, null_y, mask, img_hw, aspect, rng):
+            kvs = self._hoisted_kv(params, jnp.concatenate([null_y, y], axis=0))
             apply_fn = lambda xi, t, c, **kw: self._apply_eps(
-                params, xi, t, c, mask, img_hw, aspect, micro
+                params, xi, t, c, mask, img_hw, aspect, micro, cross_kv=kvs
             )
             model_fn = make_cfg_model_fn(
                 apply_fn, self.ns, condition=y, uncondition=null_y,
@@ -350,6 +364,7 @@ class PixArtPipeline:
 
         def run(params, x, y, null_y, mask, img_hw, aspect):
             c_in = jnp.concatenate([null_y, y], axis=0)
+            kvs = self._hoisted_kv(params, c_in)
 
             # NOTE: mirrors make_cfg_model_fn's CFG batching and
             # _apply_eps's micro-conditioning — keep the time convention
@@ -382,7 +397,8 @@ class PixArtPipeline:
                     )
                 out, cache = self.model.apply(
                     params, x_in.astype(cfg.dtype), t_vec, c_in, mask,
-                    block_cache=cache, use_block_cache=use_cache, **kwargs,
+                    block_cache=cache, use_block_cache=use_cache,
+                    cross_kv=kvs, **kwargs,
                 )
                 eps = out[..., :4]
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
@@ -407,8 +423,9 @@ class PixArtPipeline:
 
     def _build_sa(self, B, h, w, steps, cfg_scale, micro):
         def run(params, x, y, null_y, mask, img_hw, aspect, rng):
+            kvs = self._hoisted_kv(params, jnp.concatenate([null_y, y], axis=0))
             apply_fn = lambda xi, t, c, **kw: self._apply_eps(
-                params, xi, t, c, mask, img_hw, aspect, micro
+                params, xi, t, c, mask, img_hw, aspect, micro, cross_kv=kvs
             )
             model_fn = make_cfg_model_fn(
                 apply_fn, self.ns, condition=y, uncondition=null_y,
@@ -428,6 +445,7 @@ class PixArtPipeline:
 
         def run(params, x, y, null_y, mask, img_hw, aspect, rng):
             y_full = jnp.concatenate([y, null_y], axis=0)  # cond first: fwd_with_cfg
+            kvs = self._hoisted_kv(params, y_full)
 
             def model_fn(x_t, t_vec):
                 # batched CFG inside forward_with_cfg (PixArtMS.py:221-234)
@@ -440,7 +458,7 @@ class PixArtPipeline:
                     )
                 out = self.model.apply(
                     params, x2, jnp.concatenate([t_vec, t_vec]), y_full,
-                    mask, **kwargs
+                    mask, cross_kv=kvs, **kwargs
                 )
                 eps, rest = out[..., :3], out[..., 3:]
                 cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)

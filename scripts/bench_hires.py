@@ -37,7 +37,11 @@ def bench_resolution(res: int, batch: int, steps: int, decode: bool) -> dict:
         make_cfg_model_fn,
     )
     from pixart_sigma_tpu.diffusion.schedules import named_beta_schedule
-    from pixart_sigma_tpu.models.pixart import PixArt, PixArtConfig
+    from pixart_sigma_tpu.models.pixart import (
+        PixArt,
+        PixArtConfig,
+        precompute_cross_kv,
+    )
 
     H = W = res // 8
     cfg = PixArtConfig(
@@ -68,9 +72,15 @@ def bench_resolution(res: int, batch: int, steps: int, decode: bool) -> dict:
 
     @jax.jit
     def sample(params, x0):
+        kvs = precompute_cross_kv(
+            params["params"], cfg,
+            jnp.concatenate([y_uncond, y_cond], axis=0),
+        )
+
         def apply_fn(x_in, t_vec, cond, **kw):
             out = model.apply(
-                params, x_in.astype(jnp.bfloat16), t_vec, cond, mask
+                params, x_in.astype(jnp.bfloat16), t_vec, cond, mask,
+                cross_kv=kvs,
             )
             return out[..., :4]
 

@@ -227,3 +227,38 @@ def test_onepass_grads_unaligned_n():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), rtol=3e-4, atol=3e-4, err_msg=name
         )
+
+
+@pytest.mark.parametrize(
+    "B,N,M,H,Dh,bq",
+    [
+        (2, 640, 300, 4, 72, 256),   # production-like ragged captions
+        (1, 512, 120, 2, 72, 256),   # alpha 120-token captions
+        (1, 300, 300, 2, 64, 256),   # N not a bq multiple (q tail pad)
+        (2, 1024, 300, 4, 72, 512),  # bigger q block
+    ],
+)
+def test_headsmajor_crossattn_matches_xla(B, N, M, H, Dh, bq):
+    """Heads-major padded-layout cross-attn kernel (round-3 inference fast
+    path; clean 128-aligned per-head blocks instead of the allheads
+    kernel's 72-lane-offset slices)."""
+    from pixart_sigma_tpu.ops.flash_attention import crossattn_headsmajor
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    mask = np.ones((B, M), bool)
+    mask[0, M // 2:] = False
+    if B > 1:
+        mask[1, 10:] = False  # nearly-empty caption
+    want = attention(
+        q, k, v, key_mask=jnp.asarray(mask), impl="xla", fp32_softmax=True
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = crossattn_headsmajor(
+            q, k, v, key_mask=jnp.asarray(mask), block_q=bq
+        )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
