@@ -39,11 +39,16 @@ def parse_args():
     p.add_argument("--block-cache-interval", type=int, default=0,
                    help=">=2 enables delta block caching (turbo; dpm-solver "
                         "only): middle-layer residuals refresh every N NFE. "
-                        "~+33%% img/s at N=2 for a small quality cost")
+                        "RECOMMENDED turbo setting: 2 (+33%% img/s at 1024px "
+                        "for ~0 measured relative-FID cost; "
+                        "docs/performance.md quality table)")
     p.add_argument("--block-cache-threshold", type=float, default=None,
                    help="adaptive (TeaCache-style) block caching: refresh "
                         "when accumulated latent drift crosses this "
-                        "(0.05-0.3 typical; overrides interval)")
+                        "(overrides interval). Measured (docs/performance.md):"
+                        " 0.05 quality-neutral/+0%% speed, 0.15 +5%%, 0.3 "
+                        "+14%% — interval 2 dominates both; prefer it unless "
+                        "your checkpoint regresses at fixed intervals")
     p.add_argument("--cache-span", type=str, default="7:21",
                    help="k1:k2 layer span cached by block caching")
     p.add_argument("--vae-flax", default=None,
