@@ -30,7 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_resolution(res: int, batch: int, steps: int, decode: bool) -> dict:
+def bench_resolution(
+    res: int, batch: int, steps: int, decode: bool, chunk: int = 0
+) -> dict:
     from pixart_sigma_tpu.diffusion.dpm_solver import (
         DPMSolver,
         NoiseScheduleVP,
@@ -70,33 +72,68 @@ def bench_resolution(res: int, batch: int, steps: int, decode: bool) -> dict:
     betas = named_beta_schedule("linear", 1000)
     ns = NoiseScheduleVP("discrete", betas=betas)
 
-    @jax.jit
-    def sample(params, x0):
-        kvs = precompute_cross_kv(
-            params["params"], cfg,
-            jnp.concatenate([y_uncond, y_cond], axis=0),
-        )
-
-        def apply_fn(x_in, t_vec, cond, **kw):
-            out = model.apply(
-                params, x_in.astype(jnp.bfloat16), t_vec, cond, mask,
-                cross_kv=kvs,
+    def make_sampler(n_steps, t_start=None, t_end=None):
+        @jax.jit
+        def sample(params, x0):
+            kvs = precompute_cross_kv(
+                params["params"], cfg,
+                jnp.concatenate([y_uncond, y_cond], axis=0),
             )
-            return out[..., :4]
 
-        model_fn = make_cfg_model_fn(
-            apply_fn, ns, condition=y_cond, uncondition=y_uncond,
-            cfg_scale=4.5,
-        )
-        solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
-        return solver.sample(x0, steps=steps, order=2, method="multistep")
+            def apply_fn(x_in, t_vec, cond, **kw):
+                out = model.apply(
+                    params, x_in.astype(jnp.bfloat16), t_vec, cond, mask,
+                    cross_kv=kvs,
+                )
+                return out[..., :4]
 
-    reduced = jax.jit(lambda p, x: jnp.sum(sample(p, x).astype(jnp.float32)))
-    jax.device_get(reduced(params, x))  # compile + warm
+            model_fn = make_cfg_model_fn(
+                apply_fn, ns, condition=y_cond, uncondition=y_uncond,
+                cfg_scale=4.5,
+            )
+            solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
+            return solver.sample(
+                x0, steps=n_steps, order=2, method="multistep",
+                t_start=t_start, t_end=t_end,
+            )
+
+        return sample
+
+    if chunk and chunk < steps:
+        # The tunneled worker kills single XLA executions past ~1-2 min
+        # (the full 4K 20-NFE scan runs ~3 min and crashes it; 2-NFE probes
+        # and the 2K 33 s trajectory are fine). Split the SAME time_uniform
+        # grid into ceil(steps/chunk) dispatches; identical NFE count and
+        # per-step shapes, so throughput is representative (each chunk's
+        # first step restarts the multistep memory at order 1 — a sampler-
+        # quality nuance only, not a timing one).
+        bounds = np.linspace(ns.T, 1.0 / ns.total_N, steps + 1)
+        chunks = []
+        for i in range(0, steps, chunk):
+            j = min(i + chunk, steps)
+            chunks.append(
+                make_sampler(j - i, t_start=float(bounds[i]),
+                             t_end=float(bounds[j]))
+            )
+
+        def run_traj(params, x0):
+            xi = x0
+            for fn in chunks:
+                xi = fn(params, xi)
+            return jax.device_get(jnp.sum(xi.astype(jnp.float32)))
+    else:
+        full = make_sampler(steps)
+
+        def run_traj(params, x0):
+            return jax.device_get(
+                jnp.sum(full(params, x0).astype(jnp.float32))
+            )
+
+    run_traj(params, x)  # compile + warm
     iters = 2
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.device_get(reduced(params, x))
+        run_traj(params, x)
     sample_s = (time.perf_counter() - t0) / iters
 
     row = {
@@ -107,6 +144,8 @@ def bench_resolution(res: int, batch: int, steps: int, decode: bool) -> dict:
         "sample_s": round(sample_s, 3),
         "img_per_sec_sampling": round(batch / sample_s, 4),
     }
+    if chunk and chunk < steps:
+        row["chunked_dispatch"] = chunk
 
     if decode:
         from pixart_sigma_tpu.models.vae import (
@@ -142,6 +181,9 @@ def main():
     p.add_argument("--resolutions", default="2048,4096")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--no-decode", action="store_true")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="steps per dispatch (execution-time-limit workaround "
+                        "for the 4K trajectory on the tunneled worker)")
     args = p.parse_args()
 
     from pixart_sigma_tpu.utils.compile_cache import enable_compilation_cache
@@ -151,7 +193,8 @@ def main():
     BATCH = {1024: 12, 2048: 2, 4096: 1}
     for res in (int(r) for r in args.resolutions.split(",")):
         row = bench_resolution(
-            res, BATCH.get(res, 1), args.steps, decode=not args.no_decode)
+            res, BATCH.get(res, 1), args.steps, decode=not args.no_decode,
+            chunk=args.chunk)
         print(json.dumps(row), flush=True)
 
 

@@ -239,3 +239,38 @@ def test_balanced_sampler_round_robin_and_quota(tmp_path):
     assert len(set(keys)) >= 2, f"rare buckets starved: {set(keys)}"
     # epoch padded to ~len(dataset)//batch_size batches (reference :126)
     assert len(batches) >= len(ds) // 2 - 4
+
+
+def test_sharded_sampler_rank_slices(tmp_path):
+    """ShardedBatchSampler (multi-host data path): identical global batches
+    on every rank, contiguous disjoint slices, lockstep batch counts, for
+    BOTH the aspect-ratio and balanced samplers."""
+    from pixart_sigma_tpu.data import (
+        AspectRatioBatchSampler,
+        BalancedAspectRatioBatchSampler,
+        ShardedBatchSampler,
+    )
+    from pixart_sigma_tpu.data.datasets import PixArtMSDataset
+
+    root = _make_fake_sigma_root(tmp_path, n=64, uniform=False)
+    ds = PixArtMSDataset(
+        root, resolution=256, load_vae_feat=True, load_t5_feat=True,
+        aspect_ratio_type=256, max_length=32,
+    )
+    for cls in (AspectRatioBatchSampler, BalancedAspectRatioBatchSampler):
+        n_rep, local_bs = 2, 4
+        global_sampler = cls(ds, local_bs * n_rep, ds.ratios, seed=3)
+        global_batches = list(iter(global_sampler))
+        shards = []
+        for rank in range(n_rep):
+            s = ShardedBatchSampler(
+                cls(ds, local_bs * n_rep, ds.ratios, seed=3),
+                local_bs, n_rep, rank,
+            )
+            s.set_epoch(0)
+            shards.append(list(iter(s)))
+        full = [b for b in global_batches if len(b) == local_bs * n_rep]
+        assert len(shards[0]) == len(shards[1]) == len(full) > 0
+        for b0, b1, g in zip(shards[0], shards[1], full):
+            assert b0 + b1 == g
+            assert not set(b0) & set(b1)
