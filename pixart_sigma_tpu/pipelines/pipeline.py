@@ -90,19 +90,31 @@ class PixArtPipeline:
     def _latents_to_images(self, latents: jnp.ndarray) -> np.ndarray:
         if self.vae is None:
             return np.asarray(latents)
-        from pixart_sigma_tpu.models.vae import AutoencoderKL, tiled_decode
+        from pixart_sigma_tpu.models.vae import AutoencoderKL, make_tiled_decode
 
         z = latents / self.scale_factor
 
-        decode = self._cached(
-            ("vae_decode",),
-            lambda: jax.jit(
-                lambda p, z: self.vae.apply(p, z, method=AutoencoderKL.decode)
-            ),
-        )
         if z.shape[1] > 128 or z.shape[2] > 128:  # beyond 1024px: tile
-            img = tiled_decode(lambda zz: decode(self.vae_params, zz), z)
+            # single-program tiled decode (one dispatch; the host-loop
+            # variant pays a tunnel round trip per tile — 2K 7.3 -> ~1 s)
+            tiled = self._cached(
+                ("vae_decode_tiled",),
+                lambda: make_tiled_decode(
+                    lambda zz: self.vae.apply(
+                        self.vae_params, zz, method=AutoencoderKL.decode
+                    )
+                ),
+            )
+            img = tiled(z)
         else:
+            decode = self._cached(
+                ("vae_decode",),
+                lambda: jax.jit(
+                    lambda p, z: self.vae.apply(
+                        p, z, method=AutoencoderKL.decode
+                    )
+                ),
+            )
             img = decode(self.vae_params, z)
         img = np.asarray(jnp.clip((img + 1.0) / 2.0, 0.0, 1.0))
         return (img * 255).round().astype(np.uint8)

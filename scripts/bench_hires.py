@@ -151,7 +151,7 @@ def bench_resolution(
         from pixart_sigma_tpu.models.vae import (
             AutoencoderKL,
             VAEConfig,
-            tiled_decode,
+            make_tiled_decode,
         )
 
         vcfg = VAEConfig.sdxl()
@@ -159,12 +159,15 @@ def bench_resolution(
         vparams = jax.jit(lambda: vae.init(
             jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 4)),
             jax.random.PRNGKey(1)))()
-        dec = jax.jit(lambda p, z: vae.apply(p, z, method=AutoencoderKL.decode))
+        tiled = make_tiled_decode(
+            lambda zz: vae.apply(vparams, zz, method=AutoencoderKL.decode)
+        )
         z1 = x[:1] / 0.13025
 
         def run_decode():
-            img = tiled_decode(lambda zz: dec(vparams, zz), z1)
-            return jax.device_get(jnp.sum(img.astype(jnp.float32)))
+            return jax.device_get(
+                jnp.sum(tiled(z1).astype(jnp.float32))
+            )
 
         run_decode()  # compile tiles
         t0 = time.perf_counter()

@@ -157,3 +157,34 @@ def test_diffusers_key_mapping_covers_sdxl_layout():
     out, mean, logvar = vae.apply(params, x, jax.random.PRNGKey(0))
     assert out.shape == (1, 32, 32, 3)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_make_tiled_decode_matches_host_tiled():
+    """On-device (single-program scan) tiled decoder == host-loop tiled
+    decoder == direct decode on shapes that tile evenly and unevenly."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixart_sigma_tpu.models.vae import (
+        AutoencoderKL, VAEConfig, make_tiled_decode, tiled_decode,
+    )
+
+    cfg = VAEConfig.small_test()
+    vae = AutoencoderKL(cfg)
+    params = vae.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jax.random.PRNGKey(1)
+    )
+    decode = lambda z: vae.apply(params, z, method=AutoencoderKL.decode)
+    rng = np.random.RandomState(0)
+    for h, w in ((24, 24), (24, 40), (16, 16)):
+        z = jnp.asarray(rng.randn(2, h, w, 4).astype(np.float32))
+        direct = decode(z)
+        host = tiled_decode(decode, z, tile=16, overlap=8)
+        dev = make_tiled_decode(decode, tile=16, overlap=8)(z)
+        np.testing.assert_allclose(
+            np.asarray(dev), np.asarray(host), rtol=1e-5, atol=1e-5,
+            err_msg=f"hw={h}x{w}",
+        )
+        # blending error vs the direct decode stays bounded (tiling cuts
+        # the receptive field; ~0.06 mean on this random tiny VAE)
+        assert float(jnp.abs(dev - direct).mean()) < 0.1
