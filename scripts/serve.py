@@ -1,0 +1,312 @@
+#!/usr/bin/env python
+"""Production txt2img serving: HTTP JSON API with micro-batching.
+
+The reference ships interactive Gradio demos (scripts/interface.py:216-258,
+app/app_pixart_sigma.py) as its serving story; this is the TPU-native
+production analogue: a dependency-free HTTP server in front of
+PixArtPipeline with request micro-batching, so concurrent prompts share one
+compiled CFG-batched trajectory (XLA programs are cached per static
+(batch, H, W, steps) signature — the batcher pads to fixed batch sizes to
+avoid recompiles).
+
+API:
+  GET  /healthz              -> {"status": "ok", ...}
+  POST /generate  {"prompt": "...", "steps": 20, "cfg_scale": 4.5,
+                   "seed": 0, "height": 1024, "width": 1024,
+                   "sampler": "dpm-solver"}
+    -> {"images": ["<base64 png>", ...], "batched_with": N}
+    Accepts a single prompt or a list. Images are PNG when the pipeline has
+    a VAE, otherwise float latents as base64 .npy.
+
+Run (toy checkpoint):
+  python scripts/serve.py --config configs/toy/pixart_toy_img128.py \
+      --model-path /tmp/toy_run/checkpoints --vae-flax /tmp/toy_vae \
+      --pseudo-t5 64 --scale-factor 0.3264 --port 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import os
+import queue
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class _Request:
+    def __init__(self, prompt, opts):
+        self.prompt = prompt
+        self.opts = opts
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class MicroBatcher:
+    """Groups compatible requests into one pipeline call.
+
+    Requests are compatible when their static signature (H, W, steps,
+    cfg_scale, sampler) matches — those share an XLA program. The batch is
+    padded to the next size in `batch_sizes` by repeating the last prompt,
+    so the compile cache stays small and deterministic.
+    """
+
+    def __init__(self, pipe, y_null_row=None, max_wait_ms: int = 25,
+                 batch_sizes=(1, 2, 4, 8), max_batch: int = 8):
+        self.pipe = pipe
+        self.y_null_row = y_null_row
+        self.max_wait = max_wait_ms / 1000.0
+        self.batch_sizes = sorted(batch_sizes)
+        self.max_batch = max_batch
+        self.q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def submit(self, prompt, opts, timeout=600.0):
+        req = _Request(prompt, opts)
+        self.q.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def shutdown(self):
+        self._stop.set()
+        self.q.put(None)
+
+    # ------------------------------------------------------------- internal
+    def _sig(self, req):
+        o = req.opts
+        return (o["height"], o["width"], o["steps"], o["cfg_scale"],
+                o["sampler"])
+
+    def _loop(self):
+        while not self._stop.is_set():
+            req = self.q.get()
+            if req is None:
+                continue
+            batch = [req]
+            sig = self._sig(req)
+            deadline = time.time() + self.max_wait
+            # collect compatible requests until the window closes
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self.q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    continue
+                if self._sig(nxt) == sig:
+                    batch.append(nxt)
+                else:
+                    self.q.put(nxt)  # different program: next round
+                    break
+            self._run(batch)
+
+    def _run(self, batch):
+        try:
+            prompts = [r.prompt for r in batch]
+            n = len(prompts)
+            padded = next(
+                (s for s in self.batch_sizes if s >= n), self.max_batch
+            )
+            prompts = prompts + [prompts[-1]] * (padded - n)
+            o = batch[0].opts
+            kwargs = {}
+            if self.y_null_row is not None:
+                import jax.numpy as jnp
+
+                kwargs["y_null"] = jnp.broadcast_to(
+                    self.y_null_row[None],
+                    (len(prompts),) + self.y_null_row.shape,
+                )
+            out = self.pipe(
+                prompts,
+                height=o["height"], width=o["width"],
+                num_inference_steps=o["steps"],
+                guidance_scale=o["cfg_scale"],
+                sampler=o["sampler"], seed=o["seed"],
+                **kwargs,
+            )
+            for i, r in enumerate(batch):
+                r.result = (out[i], len(batch))
+                r.event.set()
+        except Exception as e:  # noqa: BLE001 - surfaced per request
+            for r in batch:
+                r.error = e
+                r.event.set()
+
+
+def _encode_image(arr, decoded: bool) -> str:
+    if decoded:
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+    import numpy as np
+
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def make_handler(batcher, pipe, info):
+    decoded = pipe.vae is not None
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet access log
+            pass
+
+        def _json(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, dict(status="ok", **info))
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                prompts = req.get("prompt", "")
+                single = isinstance(prompts, str)
+                prompts = [prompts] if single else list(prompts)
+                assert prompts and all(isinstance(p, str) for p in prompts)
+                opts = dict(
+                    height=int(req.get("height", info["resolution"])),
+                    width=int(req.get("width", info["resolution"])),
+                    steps=int(req.get("steps", 20)),
+                    cfg_scale=float(req.get("cfg_scale", 4.5)),
+                    sampler=str(req.get("sampler", "dpm-solver")),
+                    seed=int(req.get("seed", 0)),
+                )
+            except Exception as e:  # noqa: BLE001
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                results = [batcher.submit(p, opts) for p in prompts]
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": str(e)})
+                return
+            self._json(200, {
+                "images": [_encode_image(r[0], decoded) for r in results],
+                "decoded": decoded,
+                "batched_with": max(r[1] for r in results),
+            })
+
+    return Handler
+
+
+def build_pipeline(args):
+    import jax
+    import jax.numpy as jnp
+
+    from pixart_sigma_tpu.config import read_config
+    from pixart_sigma_tpu.models.builder import build_model_from_config
+    from pixart_sigma_tpu.pipelines.pipeline import PixArtPipeline
+    from pixart_sigma_tpu.utils import checkpoint as ckpt_io
+    from pixart_sigma_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    config = read_config(args.config)
+    model = build_model_from_config(config)
+    params = {"params": ckpt_io.load_checkpoint(
+        args.model_path, model.cfg, load_ema=args.load_ema)}
+
+    t5 = None
+    y_null_row = None
+    if args.pseudo_t5:
+        from pixart_sigma_tpu.models.t5 import PseudoT5Embedder
+
+        t5 = PseudoT5Embedder(args.pseudo_t5, model.cfg.model_max_length)
+        y_null_row = jnp.asarray(
+            params["params"]["y_embedder"]["y_embedding"], jnp.float32
+        )
+    elif args.t5_path:
+        from pixart_sigma_tpu.models.t5 import T5Embedder
+
+        t5 = T5Embedder.from_pretrained(
+            args.t5_path, model_max_length=model.cfg.model_max_length
+        )
+    vae = vae_params = None
+    if args.vae_flax:
+        from pixart_sigma_tpu.models.vae import load_flax_vae
+
+        vae, vae_params = load_flax_vae(args.vae_flax)
+    res = config.get("image_size", 1024)
+    scale = args.scale_factor or config.get("scale_factor", 0.13025)
+    pipe = PixArtPipeline(
+        model, params, t5=t5, vae=vae, vae_params=vae_params,
+        scale_factor=scale, base_resolution=res,
+    )
+    return pipe, y_null_row, res
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True)
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--load-ema", action="store_true")
+    p.add_argument("--t5-path", default=None)
+    p.add_argument("--pseudo-t5", type=int, default=None, metavar="DIM")
+    p.add_argument("--vae-flax", default=None)
+    p.add_argument("--scale-factor", type=float, default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=int, default=25)
+    p.add_argument("--warmup", action="store_true",
+                   help="compile the default program before serving")
+    args = p.parse_args()
+
+    pipe, y_null_row, res = build_pipeline(args)
+    info = {"resolution": res, "model": args.model_path}
+    batcher = MicroBatcher(
+        pipe, y_null_row=y_null_row,
+        max_wait_ms=args.max_wait_ms, max_batch=args.max_batch,
+    )
+    if args.warmup:
+        batcher.submit("warmup", dict(
+            height=res, width=res, steps=20, cfg_scale=4.5,
+            sampler="dpm-solver", seed=0,
+        ))
+        print("warmup compile done", flush=True)
+
+    server = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(batcher, pipe, info)
+    )
+    print(f"serving on http://{args.host}:{server.server_address[1]} "
+          f"(max_batch={args.max_batch})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        batcher.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Serving entry (scripts/serve.py): HTTP API + micro-batching.
+
+A tiny random-weight checkpoint + pseudo-T5 backs a real server subprocess;
+concurrent /generate requests with the same static signature must be served
+from ONE batched pipeline call (batched_with > 1), and /healthz must
+respond. The reference's serving story is the Gradio demos; this covers the
+TPU-native production analogue.
+"""
+
+import base64
+import io
+import json
+import os
+import socket
+import subprocess
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _post(url, payload, out, idx):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        out[idx] = json.loads(resp.read())
+
+
+def test_serve_end_to_end(tmp_path):
+    from tests.test_validate_released import _make_tiny_pth
+
+    pth = _make_tiny_pth(tmp_path)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    # tiny arch matching the checkpoint, via a config override file
+    cfg_py = tmp_path / "serve_cfg.py"
+    cfg_py.write_text(
+        "_base_ = ["
+        f"{os.path.join(REPO, 'configs/pixart_sigma_config/PixArt_sigma_xl2_img256_internal.py')!r}"
+        "]\n"
+        "model_overrides = dict(depth=2, hidden_size=48, num_heads=4, "
+        "caption_channels=64, model_max_length=16)\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "scripts", "serve.py"),
+         "--config", str(cfg_py), "--model-path", pth,
+         "--pseudo-t5", "64", "--port", str(port), "--max-wait-ms", "500"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        cwd=REPO,
+    )
+    try:
+        base = f"http://127.0.0.1:{port}"
+        for _ in range(120):  # wait for startup
+            try:
+                with urllib.request.urlopen(base + "/healthz", timeout=5) as r:
+                    health = json.loads(r.read())
+                break
+            except Exception:
+                assert proc.poll() is None, proc.communicate()[0]
+                time.sleep(1)
+        else:
+            raise AssertionError("server never became healthy")
+        assert health["status"] == "ok"
+
+        # two concurrent same-signature requests -> one batched call
+        payload = {"prompt": "a red square", "steps": 2, "seed": 1,
+                   "height": 256, "width": 256}
+        results = [None, None]
+        threads = [
+            threading.Thread(target=_post, args=(base + "/generate",
+                                                 dict(payload), results, i))
+            for i in range(2)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert all(r is not None for r in results), results
+        assert all(len(r["images"]) == 1 for r in results)
+        assert max(r["batched_with"] for r in results) == 2, results
+        # latents round-trip (no VAE configured)
+        arr = np.load(io.BytesIO(base64.b64decode(results[0]["images"][0])))
+        assert arr.shape == (32, 32, 4) and np.isfinite(arr).all()
+
+        # bad request -> 400
+        req = urllib.request.Request(
+            base + "/generate", data=b'{"prompt": 5}',
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
