@@ -32,6 +32,14 @@ def main():
                         "partial generate_dmd_data.py run)")
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--optimizer", default="came", choices=["came", "adamw"],
+                   help="came (factored 2nd moments) is the 16 GB-chip "
+                        "default: two adamw states for two 0.6B models cost "
+                        "9.6 GB fp32 and OOM next to the third model")
+    p.add_argument("--teacher-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="the frozen real-score model is inference-only; "
+                        "bf16 halves its 2.4 GB residency")
     p.add_argument("--start-ts", type=int, default=400)
     p.add_argument("--cfg", type=float, default=4.5)
     p.add_argument("--max-steps", type=int, default=10000)
@@ -67,17 +75,31 @@ def main():
         args.max_length = model.cfg.model_max_length
     else:
         pe = {256: 0.5, 512: 1.0, 1024: 2.0}[args.image_size]
+        # remat is mandatory at 0.6B scale: without it the gen step's saved
+        # attention probs alone are 1.75 GB x layers and the program needs
+        # 18.3 GB (measured); with it the full 3-model step fits in 16 GB
+        # at 0.38 s/step (512px, B=2)
         model = PixArtMS_XL_2(
             input_size=args.image_size // 8, pe_interpolation=pe,
-            model_max_length=args.max_length,
+            model_max_length=args.max_length, grad_checkpointing=True,
         )
     teacher = ckpt_io.load_checkpoint(args.teacher, model.cfg)
     gen_params = jax.tree_util.tree_map(jnp.copy, teacher)
     fake_params = jax.tree_util.tree_map(jnp.copy, teacher)
+    if args.teacher_dtype == "bfloat16":
+        teacher = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16), teacher
+        )
 
     diffusion = IDDPM(timestep_respacing=[1000], learn_sigma=True)
-    gen_tx = optax.adamw(args.lr)
-    fake_tx = optax.adamw(args.lr)
+    if args.optimizer == "came":
+        from pixart_sigma_tpu.training.optim import build_optimizer
+
+        gen_tx = build_optimizer(name="came", learning_rate=args.lr)
+        fake_tx = build_optimizer(name="came", learning_rate=args.lr)
+    else:
+        gen_tx = optax.adamw(args.lr)
+        fake_tx = optax.adamw(args.lr)
     gen_step, fake_step, _ = make_dmd_train_steps(
         model, diffusion, start_ts=args.start_ts, cfg_scale=args.cfg,
         generator_tx=gen_tx, fake_tx=fake_tx,
