@@ -10,6 +10,8 @@ compiled CFG-batched trajectory (XLA programs are cached per static
 avoid recompiles).
 
 API:
+  GET  /                     -> minimal browser UI (the TPU-native stand-in
+                                for the reference's Gradio demos — zero deps)
   GET  /healthz              -> {"status": "ok", ...}
   POST /generate  {"prompt": "...", "steps": 20, "cfg_scale": 4.5,
                    "seed": 0, "height": 1024, "width": 1024,
@@ -163,6 +165,35 @@ def _encode_image(arr, decoded: bool) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
+_INDEX_HTML = """<!doctype html>
+<title>PixArt-Sigma-TPU</title>
+<style>body{font-family:sans-serif;max-width:720px;margin:2em auto}
+img{max-width:100%%;margin:4px;border-radius:6px}
+input,select{margin:2px}textarea{width:100%%}</style>
+<h2>PixArt-Sigma-TPU</h2>
+<form id=f>
+<textarea name=prompt rows=2
+ placeholder="a small cactus with a happy face">%(example)s</textarea><br>
+steps <input name=steps type=number value=20 size=3>
+cfg <input name=cfg_scale type=number step=0.5 value=4.5 size=3>
+seed <input name=seed type=number value=0 size=4>
+sampler <select name=sampler><option>dpm-solver<option>sa-solver
+<option>iddpm<option>lcm<option>dmd</select>
+<button>generate</button> <span id=s></span></form><div id=out></div>
+<script>
+f.onsubmit = async (e) => {
+  e.preventDefault(); s.textContent = "generating...";
+  const d = Object.fromEntries(new FormData(f));
+  d.steps = +d.steps; d.cfg_scale = +d.cfg_scale; d.seed = +d.seed;
+  const r = await fetch("/generate", {method: "POST", body: JSON.stringify(d)});
+  const j = await r.json(); s.textContent = r.ok ? "" : (j.error || r.status);
+  if (r.ok) out.innerHTML = j.images.map(
+    b => j.decoded ? `<img src="data:image/png;base64,${b}">`
+                   : "<pre>(no VAE: latents returned)</pre>").join("");
+};
+</script>"""
+
+
 def make_handler(batcher, pipe, info):
     decoded = pipe.vae is not None
 
@@ -181,6 +212,15 @@ def make_handler(batcher, pipe, info):
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, dict(status="ok", **info))
+            elif self.path in ("/", "/index.html"):
+                body = (_INDEX_HTML % {
+                    "example": "a small cactus with a happy face"
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "unknown path"})
 

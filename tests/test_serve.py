@@ -73,6 +73,11 @@ def test_serve_end_to_end(tmp_path):
             raise AssertionError("server never became healthy")
         assert health["status"] == "ok"
 
+        # browser UI (the Gradio-demo stand-in)
+        with urllib.request.urlopen(base + "/", timeout=30) as r:
+            page = r.read().decode()
+        assert "PixArt-Sigma-TPU" in page and "/generate" in page
+
         # two concurrent same-signature requests -> one batched call
         payload = {"prompt": "a red square", "steps": 2, "seed": 1,
                    "height": 256, "width": 256}
