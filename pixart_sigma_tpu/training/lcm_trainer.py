@@ -26,7 +26,7 @@ from pixart_sigma_tpu.diffusion.lcm import (
     DDIMSolver,
     scalings_for_boundary_conditions,
 )
-from pixart_sigma_tpu.training.train_state import TrainState, ema_update
+from pixart_sigma_tpu.training.train_state import TrainState
 
 
 def make_lcm_train_step(
