@@ -23,6 +23,7 @@ import numpy as np
 from pixart_sigma_tpu.config import Config
 from pixart_sigma_tpu.data import (
     AspectRatioBatchSampler,
+    BalancedAspectRatioBatchSampler,
     DataLoader,
     PixArtDataset,
     PixArtMSDataset,
@@ -258,7 +259,15 @@ class Trainer:
         global_bs = cfg.train_batch_size * n_proc
         if cfg.get("multi_scale"):
             table = aspect_ratio_table(cfg.aspect_ratio_type or cfg.image_size)
-            sampler = AspectRatioBatchSampler(
+            # config knob balanced_sampler: per-bucket round-robin quotas
+            # (reference BalancedAspectRatioBatchSampler, data_sampler.py:79;
+            # imported-but-unwired in the reference's shipped trainers)
+            cls = (
+                BalancedAspectRatioBatchSampler
+                if cfg.get("balanced_sampler")
+                else AspectRatioBatchSampler
+            )
+            sampler = cls(
                 dataset, global_bs, table,
                 valid_num=cfg.get("valid_num", 0), seed=cfg.seed,
             )
