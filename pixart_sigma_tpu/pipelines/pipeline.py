@@ -143,6 +143,7 @@ class PixArtPipeline:
         return_latents: bool = False,
         block_cache_interval: int = 0,  # >=2: delta block caching (turbo)
         block_cache_threshold: Optional[float] = None,  # adaptive (TeaCache-style)
+        block_cache_schedule: Optional[Sequence[int]] = None,  # explicit NFEs
     ) -> np.ndarray:
         """Generate images. Prompts may carry --ar h:w / --hw h:w flags.
 
@@ -223,11 +224,17 @@ class PixArtPipeline:
         null_y = self._shard(null_y)
         mask_full = self._shard(mask_full)
 
+        schedule = (
+            None if block_cache_schedule is None
+            else tuple(sorted(set(int(i) for i in block_cache_schedule)))
+        )
         key = (sampler, B, h, w, num_inference_steps, float(guidance_scale),
                micro, block_cache_interval,
                None if block_cache_threshold is None
-               else float(block_cache_threshold))
-        cache_on = block_cache_interval >= 2 or block_cache_threshold is not None
+               else float(block_cache_threshold), schedule)
+        cache_on = (block_cache_interval >= 2
+                    or block_cache_threshold is not None
+                    or schedule is not None)
         if cache_on and sampler != "dpm-solver":
             raise ValueError(
                 "block caching requires sampler='dpm-solver' "
@@ -237,7 +244,8 @@ class PixArtPipeline:
             fn = self._cached(key, lambda: self._build_dpm_cached(
                 B, h, w, num_inference_steps, guidance_scale, micro,
                 block_cache_interval,
-                adaptive_threshold=block_cache_threshold))
+                adaptive_threshold=block_cache_threshold,
+                schedule=schedule))
             latents = fn(self.params, x, y, null_y, mask_full, img_hw, aspect)
         elif sampler == "dpm-solver":
             fn = self._cached(key, lambda: self._build_dpm(
@@ -346,7 +354,7 @@ class PixArtPipeline:
         return jax.jit(run)
 
     def _build_dpm_cached(self, B, h, w, steps, cfg_scale, micro, interval,
-                          adaptive_threshold=None):
+                          adaptive_threshold=None, schedule=None):
         """DPM-Solver++ with delta block caching (opt-in turbo mode).
 
         Requires model.cfg.cache_span=(k1, k2). The cached middle-layer
@@ -371,6 +379,14 @@ class PixArtPipeline:
             # static mask marks forced refreshes; drift decides the rest
             refresh = np.zeros(steps, bool)
             refresh[0] = refresh[-1] = True
+        elif schedule is not None:
+            # scheduled policy: explicit refresh NFEs (dense at the
+            # trajectory ends where the latent moves fast, sparse in the
+            # smooth middle — can beat the fixed interval at equal refresh
+            # count; see docs/performance.md)
+            refresh = np.zeros(steps, bool)
+            refresh[np.asarray(sorted(set(schedule)), int)] = True
+            assert refresh[0], "step 0 must refresh (cache starts empty)"
         else:
             refresh = np.asarray([i % interval == 0 for i in range(steps)])
 

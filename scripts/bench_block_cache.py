@@ -88,6 +88,10 @@ def main() -> None:
             thr = float(c[len("adaptive"):])
             run_case(c, lambda thr=thr: pipe._build_dpm_cached(
                 BATCH, H, W, STEPS, 4.5, False, 0, adaptive_threshold=thr))
+        elif c.startswith("schedule"):
+            sched = tuple(int(v) for v in c[len("schedule"):].split("-"))
+            run_case(c, lambda s=sched: pipe._build_dpm_cached(
+                BATCH, H, W, STEPS, 4.5, False, 0, schedule=s))
 
 
 if __name__ == "__main__":

@@ -49,6 +49,10 @@ def parse_args():
                         " 0.05 quality-neutral/+0%% speed, 0.15 +5%%, 0.3 "
                         "+14%% — interval 2 dominates both; prefer it unless "
                         "your checkpoint regresses at fixed intervals")
+    p.add_argument("--block-cache-schedule", type=str, default=None,
+                   help="comma-separated NFE indices that refresh the cache "
+                        "(scheduled policy; e.g. '0,1,3,6,9,12,15,19'); "
+                        "overrides --block-cache-interval")
     p.add_argument("--cache-span", type=str, default="7:21",
                    help="k1:k2 layer span cached by block caching")
     p.add_argument("--vae-flax", default=None,
@@ -89,14 +93,16 @@ def main():
     if args.config:
         config = read_config(args.config)
         extra = {}
-        if args.block_cache_interval >= 2 or args.block_cache_threshold is not None:
+        if (args.block_cache_interval >= 2 or args.block_cache_threshold is not None
+                or args.block_cache_schedule):
             k1, k2 = (int(v) for v in args.cache_span.split(":"))
             extra["cache_span"] = (k1, k2)
         model = build_model_from_config(config, **extra)
     else:
         max_len = 300 if args.version == "sigma" else 120
         extra = {}
-        if args.block_cache_interval >= 2 or args.block_cache_threshold is not None:
+        if (args.block_cache_interval >= 2 or args.block_cache_threshold is not None
+                or args.block_cache_schedule):
             k1, k2 = (int(v) for v in args.cache_span.split(":"))
             extra["cache_span"] = (k1, k2)
         model = PixArtMS_XL_2(
@@ -174,6 +180,8 @@ def main():
             return_latents=(vae is None),
             block_cache_interval=args.block_cache_interval,
             block_cache_threshold=args.block_cache_threshold,
+            block_cache_schedule=None if not args.block_cache_schedule
+            else [int(v) for v in args.block_cache_schedule.split(",")],
         )
         for j, img in enumerate(images):
             name = f"{idx + j:05d}_{args.sampling_algo}_{steps}.jpg"

@@ -170,3 +170,59 @@ def test_adaptive_rejected_for_other_samplers():
         pipe(["a", "b"], height=64, width=64, num_inference_steps=4,
              sampler="iddpm", y=y, y_mask=mask, y_null=null_y,
              block_cache_threshold=0.1, return_latents=True)
+
+
+def test_schedule_all_steps_is_exact():
+    """A schedule refreshing EVERY NFE must reproduce the exact trajectory
+    (same invariant as interval=1); a sparse schedule must differ."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pixart_sigma_tpu.models.pixart import PixArt, PixArtConfig
+    from pixart_sigma_tpu.pipelines.pipeline import PixArtPipeline
+
+    cfg = PixArtConfig(
+        input_size=16, patch_size=2, hidden_size=48, depth=4, num_heads=4,
+        caption_channels=32, model_max_length=8, dtype=jnp.float32,
+        multi_scale=False, cache_span=(1, 3),
+    )
+    model = PixArt(cfg)
+    rng = np.random.RandomState(0)
+    B, L = 2, 8
+    x = jnp.asarray(rng.randn(B, 16, 16, 4), jnp.float32)
+    y = jnp.asarray(rng.randn(B, L, 32), jnp.float32)
+    mask = jnp.ones((B, L), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((B,)), y, mask)
+    # zero-init heads make eps identically 0 (trajectories coincide no
+    # matter what the cache does): give the final layer + block projections
+    # real weights so caching effects are observable
+    params = _randomize_final(params)
+    tree = params["params"]
+    k = jax.random.PRNGKey(7)
+    for name, blk in tree.items():
+        if not name.startswith("blocks"):
+            continue
+        for path in (("attn", "proj"), ("cross_attn", "proj"), ("mlp", "fc2")):
+            leaf = blk[path[0]][path[1]]
+            k, sub = jax.random.split(k)
+            leaf["kernel"] = jax.random.normal(
+                sub, leaf["kernel"].shape) * 0.05
+    pipe = PixArtPipeline(model, params, base_resolution=128)
+    steps = 6
+    hw = jnp.ones((B, 2), jnp.float32)
+    ar = jnp.ones((B, 1), jnp.float32)
+    null_y = jnp.asarray(rng.randn(B, L, 32), jnp.float32)
+
+    mask2 = jnp.concatenate([mask, mask], axis=0)  # CFG-doubled (pipeline)
+    exact = pipe._build_dpm(B, 16, 16, steps, 4.5, False)(
+        params, x, y, null_y, mask2, hw, ar)
+    full = pipe._build_dpm_cached(
+        B, 16, 16, steps, 4.5, False, 0, schedule=tuple(range(steps)))(
+        params, x, y, null_y, mask2, hw, ar)
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(exact), rtol=1e-5, atol=1e-5)
+    sparse = pipe._build_dpm_cached(
+        B, 16, 16, steps, 4.5, False, 0, schedule=(0, 3, 5))(
+        params, x, y, null_y, mask2, hw, ar)
+    assert float(jnp.abs(sparse - exact).max()) > 1e-6
