@@ -76,7 +76,10 @@ scale_factor = 0.18215  # sd1.5 vae: 0.18215; sdxl vae: 0.13025
 ema_rate = 0.9999
 log_interval = 50
 cfg_scale = 4.0
-mask_type = "null"
+mask_type = "null"  # 'null' off | 'random'/'group': MAE-style masked training
+mask_ratio = 0.0  # fraction of latent patches dropped when mask_type != null
+mask_loss_coef = 0.0  # removed-patch loss weight (reference :65)
+snr_gamma = None  # Min-SNR-gamma MSE rebalancing (arXiv 2303.09556; try 5.0)
 load_from = None  # .pth / safetensors / orbax dir
 resume_from = dict(
     checkpoint=None, load_ema=False, resume_optimizer=True, resume_lr_scheduler=True

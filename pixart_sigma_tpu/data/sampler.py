@@ -108,7 +108,14 @@ class ShardedBatchSampler:
                 yield batch[lo:hi]
 
     def __len__(self) -> int:
-        return len(self.global_sampler)
+        # Count exactly the FULL global batches __iter__ will yield this
+        # epoch — bucketed samplers can emit fewer than len(dataset)//B full
+        # batches (rare-ratio leftovers / drop_last=False partials), and the
+        # Trainer sizes the LR horizon and resume bookkeeping from this.
+        # Deterministic: the wrapped sampler's iteration is seeded by
+        # (seed, epoch), so this preview matches the subsequent __iter__.
+        gb = self.local_batch_size * self.num_replicas
+        return sum(1 for batch in self.global_sampler if len(batch) == gb)
 
 
 class BalancedAspectRatioBatchSampler(AspectRatioBatchSampler):

@@ -456,6 +456,28 @@ class GaussianDiffusion:
         return {"output": output, "pred_xstart": out["pred_xstart"]}
 
     # ----------------------------------------------------------------- losses
+    def compute_snr(self, t: jnp.ndarray) -> jnp.ndarray:
+        """Signal-to-noise ratio of q(x_t | x_0): alpha_bar / (1 - alpha_bar).
+
+        Matches diffusers' training_utils.compute_snr used by the reference's
+        Min-SNR weighting (train_pixart_lora_hf.py:864-875)."""
+        acp = jnp.asarray(self.coef.alphas_cumprod)[t]
+        return acp / (1.0 - acp)
+
+    def min_snr_weight(
+        self, t: jnp.ndarray, gamma: float, prediction_type: str = "epsilon"
+    ) -> jnp.ndarray:
+        """Per-sample Min-SNR-gamma MSE weights (arXiv 2303.09556 §3.4/4.2).
+
+        Spec /root/reference/train_scripts/train_pixart_lora_hf.py:864-875:
+        epsilon objective -> min(snr, gamma)/snr; v objective -> the same
+        with snr+1 in the denominator."""
+        snr = self.compute_snr(t)
+        w = jnp.minimum(snr, gamma)
+        if prediction_type == "v_prediction":
+            return w / (snr + 1.0)
+        return w / snr
+
     def training_losses(
         self,
         model_fn: ModelFn,
@@ -465,11 +487,23 @@ class GaussianDiffusion:
         noise: Optional[jnp.ndarray] = None,
         skip_noise: bool = False,
         loss_weight: Optional[jnp.ndarray] = None,
+        mse_weight: Optional[jnp.ndarray] = None,
+        mask_loss_coef: float = 0.0,
+        patch_size: int = 2,
     ) -> dict[str, Any]:
         """Per-sample training losses; spec gaussian_diffusion.py:744-855.
 
         Returns {"loss", "mse", "vb"?, "pred_xstart", "x_t"} each [B].
         `loss_weight` optionally reweights per-sample (importance sampling).
+        `mse_weight` reweights ONLY the mse term (Min-SNR-gamma; the learned
+        variance's vb term keeps its own scale).
+
+        Masked-token training (spec :836-849): when the model returns a
+        tuple ``(output, token_mask)`` — token_mask [B, L] with 1 = removed
+        patch, as produced by the model's mask_ratio path — the MSE is
+        averaged per PATCH (channel-mean + patch_size avg-pool) over KEPT
+        patches only, and ``mask_loss_coef > 0`` adds the reference's "mae"
+        term over the removed patches.
         """
         if skip_noise:
             x_t = x_start
@@ -481,6 +515,9 @@ class GaussianDiffusion:
 
         terms: dict[str, Any] = {}
         model_output = model_fn(x_t, t)
+        token_mask = None
+        if isinstance(model_output, (tuple, list)):
+            model_output, token_mask = model_output
 
         if self.loss_type.is_vb():
             terms["loss"] = self.vb_terms_bpd(
@@ -532,8 +569,36 @@ class GaussianDiffusion:
             target = jnp.where(tb > 249, noise, x_start)
             output = jnp.where(tb > 249, pred_noise, pred_startx)
 
-        terms["mse"] = mean_flat((target - output) ** 2)
-        terms["loss"] = terms["mse"] + terms.get("vb", 0.0)
+        sq_err = (target - output) ** 2
+        if token_mask is not None:
+            # masked-token training (spec :836-849): per-patch loss =
+            # channel mean + patch_size x patch_size average pool, then
+            # masked means over kept (mse) / removed (mae) patches. Formulas
+            # kept literally as mean_flat(loss*m) * L / m.sum() for
+            # goldenness vs the reference.
+            B, H, W, _ = sq_err.shape
+            p = patch_size
+            per_pix = jnp.mean(sq_err, axis=-1)  # [B, H, W] (torch dim=1)
+            per_patch = per_pix.reshape(B, H // p, p, W // p, p).mean(
+                axis=(2, 4)
+            ).reshape(B, -1)  # [B, L] == F.avg_pool2d(...).flatten(1)
+            token_mask = token_mask.astype(per_patch.dtype)
+            unmask = 1.0 - token_mask
+            L = unmask.shape[1]
+            terms["mse"] = (
+                mean_flat(per_patch * unmask) * L / jnp.sum(unmask, axis=1)
+            )
+            if mask_loss_coef > 0:
+                terms["mae"] = (
+                    mask_loss_coef
+                    * mean_flat(per_patch * token_mask)
+                    * L / jnp.sum(token_mask, axis=1)
+                )
+        else:
+            terms["mse"] = mean_flat(sq_err)
+        if mse_weight is not None:
+            terms["mse"] = terms["mse"] * mse_weight
+        terms["loss"] = terms["mse"] + terms.get("vb", 0.0) + terms.get("mae", 0.0)
         if loss_weight is not None:
             terms["loss"] = terms["loss"] * loss_weight
         terms["pred_xstart"] = pred_xstart

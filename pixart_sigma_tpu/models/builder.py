@@ -41,6 +41,16 @@ def model_kwargs_from_config(config, **overrides) -> Dict[str, Any]:
         attn_impl=config.get("attn_impl", "auto"),
         grad_checkpointing=config.get("grad_checkpointing", False),
         scan_blocks=config.get("scan_blocks", True),
+        # masked-token training (reference config knobs mask_type /
+        # mask_loss_coef; 'null' = off)
+        mask_ratio=(
+            float(config.get("mask_ratio", 0.0))
+            if config.get("mask_type", "null") != "null" else 0.0
+        ),
+        mask_type=(
+            config.get("mask_type") if config.get("mask_type", "null") != "null"
+            else "random"
+        ),
         dtype=(
             jnp.bfloat16 if config.get("mixed_precision", "bf16") == "bf16"
             else jnp.float32

@@ -80,6 +80,13 @@ class PixArtConfig:
     kv_compress_scale: int = 1
     kv_compress_layers: Tuple[int, ...] = ()
     multi_scale: bool = True
+    # MAE-style masked-token training (reference model/utils.py:192-307 +
+    # the gaussian_diffusion.py:836-849 loss hook; train-time only): drop
+    # mask_ratio of the latent patches after pos-embed, run the blocks on
+    # the kept tokens, scatter back with a learned mask token before the
+    # final layer, and return (out, token_mask) for the masked loss.
+    mask_ratio: float = 0.0
+    mask_type: str = "random"  # 'random' | 'group' (fft/laplacian: ops.masking)
     # runtime knobs
     dtype: Any = jnp.bfloat16
     fp32_attention: bool = False
@@ -176,6 +183,32 @@ class PixArt(nn.Module):
         )(x)
         x = x + jnp.asarray(pos, dtype=dtype)[None]
 
+        token_mask = mask_info = None
+        if train and cfg.mask_ratio > 0 and not self.is_initializing():
+            # MAE-style token masking: blocks only see the kept subset
+            assert cfg.mask_type in ("random", "group"), cfg.mask_type
+            assert all(self.cfg.sr_ratio(i) == 1 for i in range(cfg.depth)), (
+                "mask_ratio is incompatible with KV compression (the kept "
+                "token subset has no spatial grid to downsample)"
+            )
+            assert block_cache is None
+            from pixart_sigma_tpu.ops.masking import get_mask, mask_out_token
+
+            mask_info = get_mask(
+                self.make_rng("mask"), B, h * w, cfg.mask_ratio,
+                mask_type=cfg.mask_type,
+            )
+            token_mask = mask_info["mask"]
+            x = mask_out_token(x, mask_info["ids_keep"])
+        if cfg.mask_ratio > 0:
+            # param exists whenever the config enables masking, so the tree
+            # is identical between train and eval calls
+            mask_token = self.param(
+                "mask_token",
+                nn.initializers.normal(stddev=0.02),
+                (1, 1, cfg.hidden_size),
+            )
+
         t = TimestepEmbedder(cfg.hidden_size, dtype=dtype, name="t_embedder")(
             timestep
         )  # [B, D]
@@ -242,7 +275,10 @@ class PixArt(nn.Module):
             for g, (sr, count) in enumerate(cfg.block_groups()):
                 scanned = nn.scan(
                     body,
-                    variable_axes={"params": 0},
+                    # 'intermediates' rides along stacked [count, ...] so the
+                    # capture_intermediates NaN tracer (utils/debug.py) can
+                    # localise a bad output to a layer inside the group
+                    variable_axes={"params": 0, "intermediates": 0},
                     split_rngs={"params": True},
                     in_axes=in_axes,
                     length=count,
@@ -299,6 +335,13 @@ class PixArt(nn.Module):
                 )
             x = run_range(x, k2, cfg.depth)
 
+        if mask_info is not None:
+            from pixart_sigma_tpu.ops.masking import unmask_tokens
+
+            x = unmask_tokens(
+                x, mask_info["ids_restore"], mask_token.astype(x.dtype)
+            )
+
         x = T2IFinalLayer(
             hidden_size=cfg.hidden_size,
             patch_size=p,
@@ -309,6 +352,8 @@ class PixArt(nn.Module):
         out = self.unpatchify(x, h, w).astype(jnp.float32)
         if block_cache is not None:
             return out, new_cache
+        if token_mask is not None:
+            return out, token_mask
         return out
 
     def unpatchify(self, x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:

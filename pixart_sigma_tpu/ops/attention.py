@@ -80,10 +80,21 @@ def attention(
 
         assert bias is None, "onepass kernel: dense bias unsupported; impl='xla'"
         return onepass_attention(q, k, v, key_mask=key_mask)
+    if choice == "headsmajor":
+        from pixart_sigma_tpu.ops.flash_attention import crossattn_headsmajor
+
+        assert bias is None, "headsmajor kernel: dense bias unsupported; impl='xla'"
+        assert key_mask is not None, "headsmajor kernel needs a key_mask"
+        return crossattn_headsmajor(q, k, v, key_mask=key_mask)
     if choice == "flash":
         from pixart_sigma_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, bias=bias, key_mask=key_mask)
+    if choice != "xla":
+        raise ValueError(
+            f"unknown attention impl {choice!r}; expected one of "
+            "'auto', 'xla', 'flash', 'onepass', 'allheads', 'headsmajor'"
+        )
 
     if key_mask is not None:
         key_bias = jnp.where(key_mask[:, None, None, :], 0.0, -jnp.inf).astype(

@@ -124,8 +124,15 @@ def count_lora_params(lora: Dict[str, Any]) -> int:
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(lora))
 
 
-def make_lora_train_step(model, diffusion, base_params, tx, scale: float = 1.0):
-    """train_step(lora, opt_state, batch, rng) optimising ONLY the adapters."""
+def make_lora_train_step(
+    model, diffusion, base_params, tx, scale: float = 1.0,
+    snr_gamma: float | None = None,
+):
+    """train_step(lora, opt_state, batch, rng) optimising ONLY the adapters.
+
+    `snr_gamma` enables Min-SNR-gamma MSE rebalancing, matching the
+    reference LoRA trainer's --snr_gamma
+    (train_pixart_lora_hf.py:252,864-875; recommended 5.0)."""
     import optax
 
     def loss_fn(lora, batch, t, noise, drop_rng):
@@ -137,7 +144,13 @@ def make_lora_train_step(model, diffusion, base_params, tx, scale: float = 1.0):
                 train=True, rngs={"caption_drop": drop_rng},
             )
 
-        terms = diffusion.training_losses(model_fn, batch["latents"], t, noise=noise)
+        mse_weight = (
+            diffusion.min_snr_weight(t, snr_gamma)
+            if snr_gamma is not None else None
+        )
+        terms = diffusion.training_losses(
+            model_fn, batch["latents"], t, noise=noise, mse_weight=mse_weight
+        )
         return jnp.mean(terms["loss"])
 
     @jax.jit

@@ -67,14 +67,17 @@ class TrainState:
 
         `ema_rate` overrides the state's rate for this step (LCM's target
         network uses 0.95, train_pixart_lcm.py:301-309) — callers must not
-        recompute the EMA afterwards.
+        recompute the EMA afterwards. An explicit override also bypasses the
+        warmup ramp: it is a prescribed per-step rate (the reference's LCM
+        target tracks the student at a FIXED 0.95 from step 0), not a
+        long-horizon EMA that warmup debiases.
         """
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
         new_ema = None
         if self.ema_params is not None:
             rate = self.ema_rate if ema_rate is None else ema_rate
-            if self.ema_warmup:
+            if self.ema_warmup and ema_rate is None:
                 rate = warmup_ema_rate(rate, self.step)
             new_ema = ema_update(self.ema_params, new_params, rate)
         return self.replace(

@@ -31,6 +31,8 @@ def make_train_step(
     tensor: bool = False,
     donate: bool = True,
     schedule_sampler=None,
+    snr_gamma: Optional[float] = None,
+    mask_loss_coef: float = 0.0,
 ) -> Callable:
     """Build train_step(state, batch, rng) -> (state, metrics).
 
@@ -41,10 +43,18 @@ def make_train_step(
     `schedule_sampler`: optional LossSecondMomentResampler INITIAL state; when
     given, the importance-sampler state rides inside TrainState-like tuple —
     the trainer passes/receives it as part of the (state, sampler) pair.
+    `snr_gamma`: Min-SNR-gamma MSE rebalancing (reference
+    train_pixart_lora_hf.py:864-875; recommended 5.0, None = off).
+    `mask_loss_coef`: removed-patch loss weight when the model is built with
+    mask_ratio > 0 (reference gaussian_diffusion.py:836-849).
     """
+    masked = getattr(model.cfg, "mask_ratio", 0.0) > 0
 
-    def loss_fn(params, batch, t, noise, drop_rng):
+    def loss_fn(params, batch, t, noise, drop_rng, mask_rng):
         def model_fn(x_t, t_in):
+            rngs = {"caption_drop": drop_rng}
+            if masked:
+                rngs["mask"] = mask_rng
             return model.apply(
                 {"params": params},
                 x_t,
@@ -54,23 +64,31 @@ def make_train_step(
                 batch.get("img_hw"),
                 batch.get("aspect_ratio"),
                 train=True,
-                rngs={"caption_drop": drop_rng},
+                rngs=rngs,
             )
 
+        mse_weight = (
+            diffusion.min_snr_weight(t, snr_gamma)
+            if snr_gamma is not None else None
+        )
         terms = diffusion.training_losses(
-            model_fn, batch["latents"], t, noise=noise
+            model_fn, batch["latents"], t, noise=noise,
+            mse_weight=mse_weight, mask_loss_coef=mask_loss_coef,
+            patch_size=model.cfg.patch_size,
         )
         loss = jnp.mean(terms["loss"])
         metrics = {"loss": loss, "mse": jnp.mean(terms["mse"])}
         if "vb" in terms:
             metrics["vb"] = jnp.mean(terms["vb"])
+        if "mae" in terms:
+            metrics["mae"] = jnp.mean(terms["mae"])
         return loss, (metrics, terms["loss"])
 
     use_resampler = schedule_sampler is not None
 
     def train_step(state: TrainState, batch, rng, sampler=None):
         rng = jax.random.fold_in(rng, state.step)
-        t_rng, noise_rng, drop_rng = jax.random.split(rng, 3)
+        t_rng, noise_rng, drop_rng, mask_rng = jax.random.split(rng, 4)
         B = batch["latents"].shape[0]
         if use_resampler:
             t, loss_weight = sampler.sample(t_rng, B)
@@ -83,7 +101,7 @@ def make_train_step(
 
         def weighted_loss(params):
             loss, (metrics, per_sample) = loss_fn(
-                params, batch, t, noise, drop_rng
+                params, batch, t, noise, drop_rng, mask_rng
             )
             if loss_weight is not None:
                 loss = jnp.mean(per_sample * loss_weight)

@@ -149,6 +149,8 @@ class Trainer:
             fsdp=config.get("use_fsdp", False),
             tensor=config.get("use_tensor_parallel", False),
             schedule_sampler=self.sampler_state,
+            snr_gamma=config.get("snr_gamma", None),
+            mask_loss_coef=config.get("mask_loss_coef", 0.0),
         )
         self.batch_sharding = data_sharding(self.mesh)
 
@@ -417,6 +419,37 @@ class Trainer:
                         self.logger.error("non-finite loss; param health:")
                         self.logger.error(format_health_report(self.state.params))
                         bad = find_nonfinite(self.state.params)
+                        # localise the first overflowing module output in one
+                        # captured re-run of the forward on this batch
+                        # (the reference's forward-hook tracer, misc.py:107)
+                        try:
+                            from pixart_sigma_tpu.utils.debug import (
+                                first_bad_module,
+                                format_overflow_report,
+                                scan_group_sizes_from_config,
+                                trace_forward,
+                            )
+
+                            _, inter = trace_forward(
+                                self.model, {"params": self.state.params},
+                                batch_dev["latents"],
+                                jnp.full(
+                                    (batch_dev["latents"].shape[0],), 500.0
+                                ),
+                                batch_dev["y"], batch_dev.get("y_mask"),
+                                batch_dev.get("img_hw"),
+                                batch_dev.get("aspect_ratio"),
+                            )
+                            self.logger.error(format_overflow_report(
+                                first_bad_module(
+                                    inter,
+                                    scan_group_sizes_from_config(
+                                        self.model.cfg
+                                    ),
+                                )
+                            ))
+                        except Exception as e:  # noqa: BLE001 - best-effort
+                            self.logger.error(f"forward trace failed: {e}")
                         raise FloatingPointError(f"non-finite params: {bad[:8]}")
                     buf.clear()
                 if cfg.save_model_steps and step % cfg.save_model_steps == 0:

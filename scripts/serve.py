@@ -72,24 +72,51 @@ class MicroBatcher:
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
-    def submit(self, prompt, opts, timeout=600.0):
+    def submit_async(self, prompt, opts):
+        """Enqueue without blocking; returns the request handle for wait().
+
+        Multi-prompt API requests enqueue all prompts first so same-signature
+        prompts from one request share a batch instead of running serially.
+        """
         req = _Request(prompt, opts)
         self.q.put(req)
+        return req
+
+    def wait(self, req, timeout=600.0):
         if not req.event.wait(timeout):
             raise TimeoutError("generation timed out")
         if req.error is not None:
             raise req.error
         return req.result
 
+    def submit(self, prompt, opts, timeout=600.0):
+        return self.wait(self.submit_async(prompt, opts), timeout)
+
     def shutdown(self):
         self._stop.set()
         self.q.put(None)
 
     # ------------------------------------------------------------- internal
+    # samplers whose trajectory consumes a shared PRNG stream: a request's
+    # output would depend on its batch position, so those only batch with
+    # same-seed requests. Deterministic samplers honor per-request seeds via
+    # per-row initial latents (see _run) and batch freely.
+    _STOCHASTIC = frozenset({"sde-dpm-solver", "sa-solver", "iddpm", "lcm"})
+
     def _sig(self, req):
         o = req.opts
-        return (o["height"], o["width"], o["steps"], o["cfg_scale"],
-                o["sampler"])
+        sig = (o["height"], o["width"], o["steps"], o["cfg_scale"],
+               o["sampler"])
+        if o["sampler"] in self._STOCHASTIC:
+            sig += (o["seed"],)
+        return sig
+
+    def _latent_hw(self, o):
+        height, width = o["height"], o["width"]
+        if (not getattr(self.pipe.model.cfg, "multi_scale", True)
+                and height != width):
+            height = width = self.pipe.base_resolution  # pipeline snaps too
+        return height // 8, width // 8
 
     def _loop(self):
         while not self._stop.is_set():
@@ -119,6 +146,9 @@ class MicroBatcher:
 
     def _run(self, batch):
         try:
+            import jax
+            import jax.numpy as jnp
+
             prompts = [r.prompt for r in batch]
             n = len(prompts)
             padded = next(
@@ -127,9 +157,21 @@ class MicroBatcher:
             prompts = prompts + [prompts[-1]] * (padded - n)
             o = batch[0].opts
             kwargs = {}
+            # per-request seeds: build each row's initial noise exactly as
+            # the pipeline would for a solo B=1 call with that seed
+            # (rng, init_rng = split(PRNGKey(seed)); normal(init_rng, ...)),
+            # so a batched request reproduces its served-alone image.
+            h, w = self._latent_hw(o)
+            rows = [
+                jax.random.normal(
+                    jax.random.split(jax.random.PRNGKey(int(r.opts["seed"])))[1],
+                    (1, h, w, 4), jnp.float32,
+                )
+                for r in batch
+            ]
+            rows += [rows[-1]] * (padded - n)
+            kwargs["latents"] = jnp.concatenate(rows, axis=0)
             if self.y_null_row is not None:
-                import jax.numpy as jnp
-
                 kwargs["y_null"] = jnp.broadcast_to(
                     self.y_null_row[None],
                     (len(prompts),) + self.y_null_row.shape,
@@ -247,7 +289,9 @@ def make_handler(batcher, pipe, info):
                 self._json(400, {"error": f"bad request: {e}"})
                 return
             try:
-                results = [batcher.submit(p, opts) for p in prompts]
+                # enqueue all prompts first so they can share a micro-batch
+                reqs = [batcher.submit_async(p, opts) for p in prompts]
+                results = [batcher.wait(r) for r in reqs]
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": str(e)})
                 return

@@ -24,6 +24,8 @@ def main():
     p.add_argument("--use-rslora", action="store_true")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--snr-gamma", type=float, default=None,
+                   help="Min-SNR-gamma loss rebalancing (try 5.0; reference train_pixart_lora_hf.py:252)")
     args = p.parse_args()
 
     import jax
@@ -67,7 +69,9 @@ def main():
     )
     tx = optax.adamw(args.lr)
     opt_state = tx.init(lora)
-    step_fn = make_lora_train_step(model, diffusion, base_params, tx)
+    step_fn = make_lora_train_step(
+        model, diffusion, base_params, tx, snr_gamma=args.snr_gamma
+    )
 
     ds = build_dataset(config)
     sampler = _SimpleBatchSampler(len(ds), config.train_batch_size, config.seed)

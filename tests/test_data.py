@@ -274,3 +274,11 @@ def test_sharded_sampler_rank_slices(tmp_path):
         for b0, b1, g in zip(shards[0], shards[1], full):
             assert b0 + b1 == g
             assert not set(b0) & set(b1)
+        # __len__ must equal the yielded count exactly (round-3 ADVICE: the
+        # Trainer sizes the LR horizon from it; bucketed samplers can yield
+        # fewer full batches than len(dataset)//B)
+        s = ShardedBatchSampler(
+            cls(ds, local_bs * n_rep, ds.ratios, seed=3), local_bs, n_rep, 0
+        )
+        s.set_epoch(0)
+        assert len(s) == len(list(iter(s)))

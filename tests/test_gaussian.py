@@ -408,3 +408,100 @@ def test_training_losses_diffusers_matches_reference():
     np.testing.assert_allclose(np.asarray(out), nhwc(out_r), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(x0_pred), nhwc(x0_r), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(x_t), nhwc(xt_r), rtol=1e-4, atol=1e-5)
+
+
+def test_min_snr_gamma_weights_golden():
+    """Min-SNR-gamma weights vs the reference LoRA trainer's torch math
+    (train_pixart_lora_hf.py:864-875 with diffusers compute_snr)."""
+    betas = ref_gd.get_named_beta_schedule("linear", 1000)
+    ours, _ = make_pair(LossType.MSE, ref_gd.LossType.MSE)
+    t = torch.from_numpy(T_NP)
+    gamma = 5.0
+
+    # literal reference computation (diffusers DDPMScheduler keeps
+    # alphas_cumprod in float32, so compute_snr's division is f32 too)
+    alphas_cumprod = torch.from_numpy(np.cumprod(1.0 - betas)).float()
+    snr = alphas_cumprod[t] / (1 - alphas_cumprod[t])
+    want = (
+        torch.stack([snr, gamma * torch.ones_like(t).float()], dim=1)
+        .min(dim=1)[0] / snr
+    )
+    got = ours.min_snr_weight(jnp.asarray(T_NP), gamma)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-5)
+    # v-prediction variant: min(snr, gamma) / (snr + 1)
+    got_v = ours.min_snr_weight(jnp.asarray(T_NP), gamma, "v_prediction")
+    np.testing.assert_allclose(
+        np.asarray(got_v), (torch.min(snr, torch.full_like(snr, gamma))
+                            / (snr + 1)).numpy(), rtol=1e-5,
+    )
+
+    # mse_weight reweights ONLY the mse term of the loss
+    def model_fn(x, tt):
+        return jnp.asarray(fake_model_np(np.asarray(x), np.asarray(tt)))
+
+    plain = ours.training_losses(
+        model_fn, jnp.asarray(X0_NP), jnp.asarray(T_NP),
+        noise=jnp.asarray(NOISE_NP),
+    )
+    weighted = ours.training_losses(
+        model_fn, jnp.asarray(X0_NP), jnp.asarray(T_NP),
+        noise=jnp.asarray(NOISE_NP), mse_weight=got,
+    )
+    np.testing.assert_allclose(
+        np.asarray(weighted["mse"]), np.asarray(plain["mse"] * got), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(weighted["loss"]),
+        np.asarray(plain["mse"] * got + plain["vb"]), rtol=1e-5, atol=1e-7,
+    )
+
+
+@pytest.mark.parametrize("coef", [0.0, 0.7])
+def test_masked_token_training_losses_golden(coef):
+    """mask_ratio loss hook vs reference gaussian_diffusion.py:836-849:
+    per-patch pooled loss, kept-patch mse, optional removed-patch mae."""
+    ours, ref = make_pair(LossType.MSE, ref_gd.LossType.MSE)
+    L = (H // 2) * (W // 2)
+    rng = np.random.RandomState(7)
+    mask_np = np.zeros((B, L), np.float32)
+    for b in range(B):
+        mask_np[b, rng.permutation(L)[: L // 2 + 1]] = 1.0  # 1 = removed
+
+    def model_fn(x, tt):
+        out = jnp.asarray(fake_model_np(np.asarray(x), np.asarray(tt)))
+        return out, jnp.asarray(mask_np)
+
+    terms = ours.training_losses(
+        model_fn, jnp.asarray(X0_NP), jnp.asarray(T_NP),
+        noise=jnp.asarray(NOISE_NP), mask_loss_coef=coef, patch_size=2,
+    )
+
+    class _RefMaskedModel:
+        def __call__(self, x, t, **kw):
+            return {
+                "x": nchw(fake_model_np(nhwc(x), t.numpy())),
+                "mask": torch.from_numpy(mask_np),
+            }
+
+    ref_model = _RefMaskedModel()
+    # the reference reads model.model.module.patch_size inside the loss
+    ref_model.model = type(
+        "M", (), {"module": type("Mod", (), {"patch_size": 2})()}
+    )()
+    terms_ref = ref.training_losses(
+        ref_model, nchw(X0_NP), torch.from_numpy(T_NP), noise=nchw(NOISE_NP),
+        model_kwargs={"mask_ratio": 0.5, "mask_loss_coef": coef},
+    )
+    np.testing.assert_allclose(
+        np.asarray(terms["mse"]), terms_ref["mse"].numpy(), rtol=1e-4, atol=1e-5
+    )
+    assert ("mae" in terms) == (coef > 0) == ("mae" in terms_ref)
+    if coef > 0:
+        np.testing.assert_allclose(
+            np.asarray(terms["mae"]), terms_ref["mae"].numpy(),
+            rtol=1e-4, atol=1e-5,
+        )
+    np.testing.assert_allclose(
+        np.asarray(terms["loss"]), terms_ref["loss"].numpy(),
+        rtol=1e-3, atol=1e-5,
+    )

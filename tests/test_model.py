@@ -200,3 +200,57 @@ def test_scan_blocks_matches_unrolled():
     np.testing.assert_allclose(
         np.asarray(out_loop), np.asarray(out_scan), rtol=1e-5, atol=1e-5
     )
+
+
+def test_masked_token_training_forward():
+    """mask_ratio forward path (reference model/utils.py:255-307 analog):
+    train=True returns (out, token_mask) with the configured drop fraction,
+    eval ignores masking, the learned mask_token exists in the param tree,
+    and gradients flow through the masked path."""
+    cfg = _tiny_cfg(multi_scale=True, mask_ratio=0.25, mask_type="random")
+    model = PixArt(cfg)
+    x, t, y, mask = _inputs()
+    params = model.init(jax.random.PRNGKey(0), x, t, y, mask)
+    assert params["params"]["mask_token"].shape == (1, 1, 48)
+
+    out, token_mask = model.apply(
+        params, x, t, y, mask, train=True,
+        rngs={"caption_drop": jax.random.PRNGKey(1),
+              "mask": jax.random.PRNGKey(2)},
+    )
+    L = (8 // 2) * (8 // 2)
+    assert out.shape == (2, 8, 8, 8) and token_mask.shape == (2, L)
+    # len_keep = int(L * (1 - 0.25)) -> L - len_keep removed per sample
+    removed = L - int(L * 0.75)
+    assert np.all(np.asarray(token_mask.sum(axis=1)) == removed)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # different mask rng -> different token subset -> different output
+    out2, tm2 = model.apply(
+        params, x, t, y, mask, train=True,
+        rngs={"caption_drop": jax.random.PRNGKey(1),
+              "mask": jax.random.PRNGKey(3)},
+    )
+    assert not np.array_equal(np.asarray(token_mask), np.asarray(tm2))
+
+    # eval path: plain tensor, no masking applied
+    out_eval = model.apply(params, x, t, y, mask)
+    assert isinstance(out_eval, jnp.ndarray)
+
+    # gradients flow through the masked forward (incl. mask_token) — the
+    # zero-initialised output head blocks them at init, so perturb it first
+    p0 = jax.tree_util.tree_map(lambda a: a, params["params"])
+    p0["final_layer"]["linear"]["kernel"] = (
+        p0["final_layer"]["linear"]["kernel"] + 0.01
+    )
+
+    def loss(p):
+        o, _ = model.apply(
+            {"params": p}, x, t, y, mask, train=True,
+            rngs={"caption_drop": jax.random.PRNGKey(1),
+                  "mask": jax.random.PRNGKey(2)},
+        )
+        return jnp.mean(o**2)
+
+    g = jax.grad(loss)(p0)
+    assert float(jnp.abs(g["mask_token"]).sum()) > 0

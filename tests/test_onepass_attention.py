@@ -262,3 +262,26 @@ def test_headsmajor_crossattn_matches_xla(B, N, M, H, Dh, bq):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
+
+
+def test_attention_impl_dispatch_validation():
+    """attention() must route impl='headsmajor' to the kernel and reject
+    unknown impl strings instead of silently falling through to XLA
+    (round-3 ADVICE: a typo'd PIXART_CROSSATTN_IMPL would otherwise make a
+    re-tuning run measure XLA while appearing to measure the kernel)."""
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 512, 2, 72).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 300, 2, 72).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 300, 2, 72).astype(np.float32))
+    mask = np.ones((1, 300), bool)
+    mask[0, 200:] = False
+    want = attention(
+        q, k, v, key_mask=jnp.asarray(mask), impl="xla", fp32_softmax=True
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = attention(q, k, v, key_mask=jnp.asarray(mask), impl="headsmajor")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+    with pytest.raises(ValueError, match="unknown attention impl"):
+        attention(q, k, v, key_mask=jnp.asarray(mask), impl="headsmjaor")

@@ -98,6 +98,37 @@ def test_serve_end_to_end(tmp_path):
         arr = np.load(io.BytesIO(base64.b64decode(results[0]["images"][0])))
         assert arr.shape == (32, 32, 4) and np.isfinite(arr).all()
 
+        # per-request seeds are honored inside a shared batch: a request
+        # batched behind a different-seed one must reproduce its solo image
+        solo = [None]
+        _post(base + "/generate", dict(payload, seed=7), solo, 0)
+        mixed = [None, None]
+        threads = [
+            threading.Thread(
+                target=_post,
+                args=(base + "/generate", dict(payload, seed=s), mixed, i),
+            )
+            for i, s in enumerate((7, 8))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert all(r is not None for r in mixed), mixed
+        a7 = np.load(io.BytesIO(base64.b64decode(mixed[0]["images"][0])))
+        a8 = np.load(io.BytesIO(base64.b64decode(mixed[1]["images"][0])))
+        solo7 = np.load(io.BytesIO(base64.b64decode(solo[0]["images"][0])))
+        np.testing.assert_array_equal(a7, solo7)
+        assert not np.array_equal(a7, a8)
+
+        # a single request with a prompt LIST shares one micro-batch
+        multi = [None]
+        _post(base + "/generate",
+              dict(payload, prompt=["a red square", "a blue circle"]),
+              multi, 0)
+        assert len(multi[0]["images"]) == 2
+        assert multi[0]["batched_with"] == 2, multi[0]
+
         # bad request -> 400
         req = urllib.request.Request(
             base + "/generate", data=b'{"prompt": 5}',

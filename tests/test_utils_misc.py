@@ -91,3 +91,60 @@ def test_log_buffer_and_timer():
     timer = SimpleTimer(total=10, log_interval=2)
     assert timer.log() is None
     assert "1" in timer.log()
+
+
+def test_forward_overflow_tracer_names_offending_block():
+    """Forward NaN tracer (reference DebugUnderflowOverflow analogue,
+    misc.py:107-386): a planted overflow must be localised to the right
+    scan-group, LAYER index, and sub-module in ONE captured run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pixart_sigma_tpu.models.pixart import PixArt, PixArtConfig
+    from pixart_sigma_tpu.utils.debug import (
+        first_bad_module,
+        format_overflow_report,
+        scan_group_sizes_from_config,
+        trace_forward,
+    )
+
+    cfg = PixArtConfig(
+        depth=4, hidden_size=48, num_heads=4, caption_channels=32,
+        model_max_length=8, dtype=jnp.float32, multi_scale=True,
+    )
+    model = PixArt(cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    t = jnp.asarray([5.0, 700.0])
+    y = jnp.asarray(rng.randn(2, 8, 32).astype(np.float32))
+    mask = jnp.ones((2, 8), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), x, t, y, mask)
+    sizes = scan_group_sizes_from_config(cfg)
+    assert sizes == {"blocks_scan_0": 4}
+
+    # clean run: nothing reported
+    _, inter = trace_forward(model, variables, x, t, y, mask)
+    assert first_bad_module(inter, sizes) is None
+
+    # plant an overflow: layer 2's mlp fc1 kernel blows up
+    params = jax.tree_util.tree_map(lambda a: a, variables["params"])
+    k = params["blocks_scan_0"]["mlp"]["fc1"]["kernel"]
+    params["blocks_scan_0"]["mlp"]["fc1"]["kernel"] = k.at[2].set(1e30)
+    _, inter = trace_forward(model, {"params": params}, x, t, y, mask)
+    bad = first_bad_module(inter, sizes)
+    assert bad is not None
+    assert bad["module"].startswith("blocks_scan_0/mlp"), bad
+    assert bad["layer"] == 2, bad
+    report = format_overflow_report(bad)
+    assert "blocks_scan_0/mlp" in report and "layer 2" in report
+
+    # a planted NaN in an embedder is found before any block
+    params2 = jax.tree_util.tree_map(lambda a: a, variables["params"])
+    params2["t_embedder"]["fc1"]["kernel"] = (
+        params2["t_embedder"]["fc1"]["kernel"] * jnp.nan
+    )
+    _, inter2 = trace_forward(model, {"params": params2}, x, t, y, mask)
+    bad2 = first_bad_module(inter2, sizes)
+    assert bad2 is not None and bad2["module"].startswith("t_embedder"), bad2
+    assert bad2["nonfinite"]
