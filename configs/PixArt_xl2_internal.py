@@ -53,6 +53,7 @@ lora_rank = 4
 num_epochs = 80
 gradient_accumulation_steps = 1
 grad_checkpointing = False
+remat_policy = "nothing"  # 'nothing'|'dots'|'dots_no_batch'|'everything'
 gradient_clip = 1.0
 auto_lr = dict(rule="sqrt")
 validation_prompts = [

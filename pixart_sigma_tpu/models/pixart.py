@@ -92,6 +92,15 @@ class PixArtConfig:
     fp32_attention: bool = False
     attn_impl: str = "auto"
     grad_checkpointing: bool = False
+    # Rematerialisation policy for the per-block nn.remat when
+    # grad_checkpointing is on. 'nothing' = save nothing (max memory
+    # savings, recompute the whole block in the bwd pass — the reference's
+    # torch.utils.checkpoint semantics, model/utils.py:28-45); 'dots' =
+    # jax.checkpoint_policies.dots_saveable (keep matmul outputs, recompute
+    # elementwise/softmax only); 'dots_no_batch' =
+    # dots_with_no_batch_dims_saveable (keep only weight-stationary matmul
+    # results). Swept on TPU in docs/performance.md §training.
+    remat_policy: str = "nothing"
     # Compile the depth dimension as nn.scan groups (one XLA body per group of
     # identical blocks) instead of `depth` unrolled copies — ~15-20x faster
     # XLA compile for the 28-layer model with identical numerics. Params are
@@ -135,6 +144,26 @@ class PixArtConfig:
             else:
                 groups.append((sr, 1))
         return groups
+
+
+
+def _remat_policy(name: str):
+    """Map the config string to a jax.checkpoint policy (None = save nothing)."""
+    import jax
+
+    cp = jax.checkpoint_policies
+    policies = {
+        "nothing": None,
+        "dots": cp.dots_saveable,
+        "dots_no_batch": cp.dots_with_no_batch_dims_saveable,
+        "everything": cp.everything_saveable,
+    }
+    try:
+        return policies[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown remat_policy {name!r}; expected one of {sorted(policies)}"
+        ) from None
 
 
 class PixArt(nn.Module):
@@ -267,7 +296,10 @@ class PixArt(nn.Module):
         if cfg.scan_blocks:
             body = _ScanPixArtBlockKV if use_kv else _ScanPixArtBlock
             if cfg.grad_checkpointing:
-                body = nn.remat(body, prevent_cse=False)
+                body = nn.remat(
+                    body, prevent_cse=False,
+                    policy=_remat_policy(cfg.remat_policy),
+                )
             in_axes = (nn.broadcast, nn.broadcast, nn.broadcast) + (
                 (0,) if use_kv else ()
             )
@@ -289,7 +321,10 @@ class PixArt(nn.Module):
         else:
             block_cls = PixArtBlock
             if cfg.grad_checkpointing:
-                block_cls = nn.remat(PixArtBlock, prevent_cse=False)
+                block_cls = nn.remat(
+                    PixArtBlock, prevent_cse=False,
+                    policy=_remat_policy(cfg.remat_policy),
+                )
             for i in range(cfg.depth):
                 mod = block_cls(
                     **block_kwargs(cfg.sr_ratio(i)), name=f"blocks_{i}"

@@ -239,17 +239,20 @@ class T5Embedder:
         model_max_length: int = 300,
         dtype=jnp.bfloat16,
         param_dtype=jnp.bfloat16,
+        config: "Optional[T5Config]" = None,
     ) -> "T5Embedder":
         """Load tokenizer + torch weights from a local HF checkpoint dir.
 
         Params are stored in bf16 by default: T5-XXL is 4.7B params and must
         fit next to the DiT in 16 GB HBM (fp32 params alone would be 19 GB).
+        `config` overrides the architecture (default T5-XXL) — used by the
+        dry-run coverage test with a toy checkpoint+tokenizer dir.
         """
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(path)
         sd = _load_hf_state_dict(path)
-        cfg = T5Config.xxl(dtype=dtype)
+        cfg = config if config is not None else T5Config.xxl(dtype=dtype)
         params = hf_t5_to_flax(sd, cfg)
         if param_dtype is not None:
             params = jax.tree_util.tree_map(

@@ -33,6 +33,7 @@ def make_train_step(
     schedule_sampler=None,
     snr_gamma: Optional[float] = None,
     mask_loss_coef: float = 0.0,
+    fsdp_min_size: int = 2**16,
 ) -> Callable:
     """Build train_step(state, batch, rng) -> (state, metrics).
 
@@ -127,7 +128,9 @@ def make_train_step(
     def shard_state(state_shape):
         """Sharding tree for the TrainState (params/opt/ema: fsdp/tp rules)."""
         def leaf(x):
-            return param_sharding(x, mesh, fsdp=fsdp, tensor=tensor)
+            return param_sharding(
+                x, mesh, fsdp=fsdp, tensor=tensor, min_size=fsdp_min_size
+            )
 
         return TrainState(
             step=repl,
@@ -169,6 +172,12 @@ def make_train_step(
             return cache[key](state, batch, rng, sampler)
         return cache[key](state, batch, rng)
 
+    # exposed for HLO/sharding inspection (tests assert the compiled step
+    # contains the expected fsdp collectives and no full weight replication)
+    jitted.cache = cache
+    jitted.cache_key = lambda batch: tuple(
+        sorted((k, v.shape) for k, v in batch.items())
+    )
     return jitted
 
 

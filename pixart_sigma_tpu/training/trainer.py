@@ -151,6 +151,7 @@ class Trainer:
             schedule_sampler=self.sampler_state,
             snr_gamma=config.get("snr_gamma", None),
             mask_loss_coef=config.get("mask_loss_coef", 0.0),
+            fsdp_min_size=config.get("fsdp_min_size", 2**16),
         )
         self.batch_sharding = data_sharding(self.mesh)
 

@@ -51,18 +51,38 @@ def _ln(sd, name):
     return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
 
 
+class _TrackingDict(dict):
+    """dict that records every key read — backs strict load checking."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.used: set = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        self.used.add(k)
+        return super().get(k, default)
+
+
 def torch_to_flax_params(
     sd: Dict[str, np.ndarray],
     cfg,
     null_embedding: Optional[np.ndarray] = None,
+    strict: bool = False,
 ) -> Dict[str, Any]:
     """Reference .pth state-dict -> our flax param tree.
 
     pos_embed buffers are dropped (resolution-dependent, recomputed at trace
     time); `null_embedding` optionally replaces y_embedder.y_embedding, like
-    the reference's load_checkpoint (checkpoint.py:62-68).
+    the reference's load_checkpoint (checkpoint.py:62-68). `strict=True`
+    raises if any checkpoint key was neither consumed nor a known-dropped
+    buffer (the torch load_state_dict(strict=True) analogue; used by
+    tools/validate_released.py and the key-manifest tests).
     """
-    sd = dict(sd)
+    sd = _TrackingDict(sd)
     for k in ("pos_embed", "base_model.pos_embed", "model.pos_embed"):
         sd.pop(k, None)
 
@@ -138,6 +158,13 @@ def torch_to_flax_params(
         "scale_shift_table": sd["final_layer.scale_shift_table"],
         "linear": _dense(sd, "final_layer.linear"),
     }
+    if strict:
+        leftover = set(sd) - sd.used
+        if leftover:
+            raise ValueError(
+                f"{len(leftover)} checkpoint keys not consumed by the model "
+                f"config (first 8): {sorted(leftover)[:8]}"
+            )
     if cfg.scan_blocks:
         params = stack_block_params(params, cfg)
     return jax.tree_util.tree_map(jnp.asarray, params)
@@ -278,6 +305,74 @@ def diffusers_to_torch_state_dict(
         sd[f"{b}.mlp.fc2.weight"] = dsd[f"{t}.ff.net.2.weight"]
         sd[f"{b}.mlp.fc2.bias"] = dsd[f"{t}.ff.net.2.bias"]
     return sd
+
+
+def torch_to_diffusers_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Reference .pth naming -> diffusers Transformer2DModel naming.
+
+    Forward direction of tools/convert_pixart_to_diffusers.py:29-156 (qkv
+    split into to_q/to_k/to_v, kv_linear into to_k/to_v, embedder renames).
+    pos_embed buffers are dropped (diffusers recomputes them).
+    """
+    dsd = {}
+    ren = {
+        "x_embedder.proj.weight": "pos_embed.proj.weight",
+        "x_embedder.proj.bias": "pos_embed.proj.bias",
+        "y_embedder.y_proj.fc1.weight": "caption_projection.linear_1.weight",
+        "y_embedder.y_proj.fc1.bias": "caption_projection.linear_1.bias",
+        "y_embedder.y_proj.fc2.weight": "caption_projection.linear_2.weight",
+        "y_embedder.y_proj.fc2.bias": "caption_projection.linear_2.bias",
+        "y_embedder.y_embedding": "caption_projection.y_embedding",
+        "t_embedder.mlp.0.weight": "adaln_single.emb.timestep_embedder.linear_1.weight",
+        "t_embedder.mlp.0.bias": "adaln_single.emb.timestep_embedder.linear_1.bias",
+        "t_embedder.mlp.2.weight": "adaln_single.emb.timestep_embedder.linear_2.weight",
+        "t_embedder.mlp.2.bias": "adaln_single.emb.timestep_embedder.linear_2.bias",
+        "csize_embedder.mlp.0.weight": "adaln_single.emb.resolution_embedder.linear_1.weight",
+        "csize_embedder.mlp.0.bias": "adaln_single.emb.resolution_embedder.linear_1.bias",
+        "csize_embedder.mlp.2.weight": "adaln_single.emb.resolution_embedder.linear_2.weight",
+        "csize_embedder.mlp.2.bias": "adaln_single.emb.resolution_embedder.linear_2.bias",
+        "ar_embedder.mlp.0.weight": "adaln_single.emb.aspect_ratio_embedder.linear_1.weight",
+        "ar_embedder.mlp.0.bias": "adaln_single.emb.aspect_ratio_embedder.linear_1.bias",
+        "ar_embedder.mlp.2.weight": "adaln_single.emb.aspect_ratio_embedder.linear_2.weight",
+        "ar_embedder.mlp.2.bias": "adaln_single.emb.aspect_ratio_embedder.linear_2.bias",
+        "t_block.1.weight": "adaln_single.linear.weight",
+        "t_block.1.bias": "adaln_single.linear.bias",
+        "final_layer.linear.weight": "proj_out.weight",
+        "final_layer.linear.bias": "proj_out.bias",
+        "final_layer.scale_shift_table": "scale_shift_table",
+    }
+    for src, dst in ren.items():
+        if src in sd:
+            dsd[dst] = sd[src]
+    depth = max(
+        int(k.split(".")[1]) for k in sd if k.startswith("blocks.")
+    ) + 1
+    for i in range(depth):
+        b, t = f"blocks.{i}", f"transformer_blocks.{i}"
+        dsd[f"{t}.scale_shift_table"] = sd[f"{b}.scale_shift_table"]
+        for n, part in zip("qkv", np.split(sd[f"{b}.attn.qkv.weight"], 3, axis=0)):
+            dsd[f"{t}.attn1.to_{n}.weight"] = part
+        for n, part in zip("qkv", np.split(sd[f"{b}.attn.qkv.bias"], 3, axis=0)):
+            dsd[f"{t}.attn1.to_{n}.bias"] = part
+        dsd[f"{t}.attn1.to_out.0.weight"] = sd[f"{b}.attn.proj.weight"]
+        dsd[f"{t}.attn1.to_out.0.bias"] = sd[f"{b}.attn.proj.bias"]
+        if f"{b}.attn.q_norm.weight" in sd:
+            for n in ("q_norm", "k_norm"):
+                dsd[f"{t}.attn1.{n}.weight"] = sd[f"{b}.attn.{n}.weight"]
+                dsd[f"{t}.attn1.{n}.bias"] = sd[f"{b}.attn.{n}.bias"]
+        dsd[f"{t}.attn2.to_q.weight"] = sd[f"{b}.cross_attn.q_linear.weight"]
+        dsd[f"{t}.attn2.to_q.bias"] = sd[f"{b}.cross_attn.q_linear.bias"]
+        kw, vw = np.split(sd[f"{b}.cross_attn.kv_linear.weight"], 2, axis=0)
+        kb, vb = np.split(sd[f"{b}.cross_attn.kv_linear.bias"], 2, axis=0)
+        dsd[f"{t}.attn2.to_k.weight"], dsd[f"{t}.attn2.to_v.weight"] = kw, vw
+        dsd[f"{t}.attn2.to_k.bias"], dsd[f"{t}.attn2.to_v.bias"] = kb, vb
+        dsd[f"{t}.attn2.to_out.0.weight"] = sd[f"{b}.cross_attn.proj.weight"]
+        dsd[f"{t}.attn2.to_out.0.bias"] = sd[f"{b}.cross_attn.proj.bias"]
+        dsd[f"{t}.ff.net.0.proj.weight"] = sd[f"{b}.mlp.fc1.weight"]
+        dsd[f"{t}.ff.net.0.proj.bias"] = sd[f"{b}.mlp.fc1.bias"]
+        dsd[f"{t}.ff.net.2.weight"] = sd[f"{b}.mlp.fc2.weight"]
+        dsd[f"{t}.ff.net.2.bias"] = sd[f"{b}.mlp.fc2.bias"]
+    return dsd
 
 
 def load_safetensors_state_dict(path: str) -> Dict[str, np.ndarray]:

@@ -1,5 +1,6 @@
 """T5 encoder parity vs transformers' torch T5EncoderModel (tiny config)."""
 
+import json
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -97,3 +98,65 @@ def test_pseudo_t5_matches_toy_dataset_features():
     np.testing.assert_array_equal(np.asarray(m)[0, :n], 1)
     np.testing.assert_array_equal(np.asarray(m)[0, n:], 0)
     np.testing.assert_array_equal(np.asarray(m)[1], 0)
+
+
+def test_t5_embedder_from_pretrained_dry_run(tmp_path):
+    """Full dry-run of the T5Embedder.from_pretrained path with a TOY
+    checkpoint dir: a programmatically built T5-convention fast tokenizer
+    (tokenizer.json — no network, no sentencepiece) + a tiny saved
+    T5EncoderModel. Covers every stage the real T5-XXL load will hit except
+    the download (round-3 VERDICT next #5)."""
+    from tokenizers import Tokenizer, models, pre_tokenizers, processors
+    from pixart_sigma_tpu.models.t5 import T5Embedder
+
+    # --- toy T5-convention tokenizer: <pad>=0, </s>=1, <unk>=2 ---
+    words = (
+        "a photo of the cat dog small cactus with happy face mountain "
+        "sunset lake astronaut jungle oil painting"
+    ).split()
+    vocab = {"<pad>": 0, "</s>": 1, "<unk>": 2}
+    for w in words:
+        vocab.setdefault(w, len(vocab))
+    for i in range(len(vocab), 128):
+        vocab[f"tok{i}"] = i
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.post_processor = processors.TemplateProcessing(
+        single="$A </s>", special_tokens=[("</s>", 1)]
+    )
+    tok.save(str(tmp_path / "tokenizer.json"))
+    (tmp_path / "tokenizer_config.json").write_text(json.dumps({
+        "tokenizer_class": "PreTrainedTokenizerFast",
+        "pad_token": "<pad>", "eos_token": "</s>", "unk_token": "<unk>",
+        "model_max_length": 512,
+    }))
+
+    # --- tiny T5 encoder checkpoint in HF layout (safetensors) ---
+    model = _torch_tiny()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    emb = T5Embedder.from_pretrained(
+        str(tmp_path), model_max_length=16,
+        dtype=jnp.float32, param_dtype=None, config=T5Config.small_test(),
+    )
+    texts = ["A photo of a cat", "a small cactus with a happy face"]
+    y, mask = emb.get_text_embeddings(texts)
+    assert y.shape == (2, 16, 32) and mask.shape == (2, 16)
+    assert np.isfinite(np.asarray(y)).all()
+    # caption cleaning lowercases -> all words in-vocab -> no <unk>
+    enc = emb.tokenizer(
+        [t.lower() for t in texts], max_length=16, padding="max_length",
+        truncation=True, return_tensors="np",
+    )
+    assert not (enc["input_ids"] == vocab["<unk>"]).any()
+
+    # golden: HF forward on the same ids equals our embeddings
+    with torch.no_grad():
+        want = model(
+            input_ids=torch.from_numpy(enc["input_ids"]),
+            attention_mask=torch.from_numpy(enc["attention_mask"]),
+        ).last_hidden_state.numpy()
+    valid = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(y)[valid], want[valid], rtol=2e-4, atol=2e-5
+    )

@@ -43,64 +43,9 @@ def to_diffusers(args):
     from pixart_sigma_tpu.utils.checkpoint import load_torch_state_dict
 
     sd = load_torch_state_dict(args.src)
-    dsd = {}
-    ren = {
-        "x_embedder.proj.weight": "pos_embed.proj.weight",
-        "x_embedder.proj.bias": "pos_embed.proj.bias",
-        "y_embedder.y_proj.fc1.weight": "caption_projection.linear_1.weight",
-        "y_embedder.y_proj.fc1.bias": "caption_projection.linear_1.bias",
-        "y_embedder.y_proj.fc2.weight": "caption_projection.linear_2.weight",
-        "y_embedder.y_proj.fc2.bias": "caption_projection.linear_2.bias",
-        "y_embedder.y_embedding": "caption_projection.y_embedding",
-        "t_embedder.mlp.0.weight": "adaln_single.emb.timestep_embedder.linear_1.weight",
-        "t_embedder.mlp.0.bias": "adaln_single.emb.timestep_embedder.linear_1.bias",
-        "t_embedder.mlp.2.weight": "adaln_single.emb.timestep_embedder.linear_2.weight",
-        "t_embedder.mlp.2.bias": "adaln_single.emb.timestep_embedder.linear_2.bias",
-        "csize_embedder.mlp.0.weight": "adaln_single.emb.resolution_embedder.linear_1.weight",
-        "csize_embedder.mlp.0.bias": "adaln_single.emb.resolution_embedder.linear_1.bias",
-        "csize_embedder.mlp.2.weight": "adaln_single.emb.resolution_embedder.linear_2.weight",
-        "csize_embedder.mlp.2.bias": "adaln_single.emb.resolution_embedder.linear_2.bias",
-        "ar_embedder.mlp.0.weight": "adaln_single.emb.aspect_ratio_embedder.linear_1.weight",
-        "ar_embedder.mlp.0.bias": "adaln_single.emb.aspect_ratio_embedder.linear_1.bias",
-        "ar_embedder.mlp.2.weight": "adaln_single.emb.aspect_ratio_embedder.linear_2.weight",
-        "ar_embedder.mlp.2.bias": "adaln_single.emb.aspect_ratio_embedder.linear_2.bias",
-        "t_block.1.weight": "adaln_single.linear.weight",
-        "t_block.1.bias": "adaln_single.linear.bias",
-        "final_layer.linear.weight": "proj_out.weight",
-        "final_layer.linear.bias": "proj_out.bias",
-        "final_layer.scale_shift_table": "scale_shift_table",
-    }
-    for src, dst in ren.items():
-        if src in sd:
-            dsd[dst] = sd[src]
-    depth = max(
-        int(k.split(".")[1]) for k in sd if k.startswith("blocks.")
-    ) + 1
-    for i in range(depth):
-        b, t = f"blocks.{i}", f"transformer_blocks.{i}"
-        dsd[f"{t}.scale_shift_table"] = sd[f"{b}.scale_shift_table"]
-        for n, part in zip("qkv", np.split(sd[f"{b}.attn.qkv.weight"], 3, axis=0)):
-            dsd[f"{t}.attn1.to_{n}.weight"] = part
-        for n, part in zip("qkv", np.split(sd[f"{b}.attn.qkv.bias"], 3, axis=0)):
-            dsd[f"{t}.attn1.to_{n}.bias"] = part
-        dsd[f"{t}.attn1.to_out.0.weight"] = sd[f"{b}.attn.proj.weight"]
-        dsd[f"{t}.attn1.to_out.0.bias"] = sd[f"{b}.attn.proj.bias"]
-        if f"{b}.attn.q_norm.weight" in sd:
-            for n in ("q_norm", "k_norm"):
-                dsd[f"{t}.attn1.{n}.weight"] = sd[f"{b}.attn.{n}.weight"]
-                dsd[f"{t}.attn1.{n}.bias"] = sd[f"{b}.attn.{n}.bias"]
-        dsd[f"{t}.attn2.to_q.weight"] = sd[f"{b}.cross_attn.q_linear.weight"]
-        dsd[f"{t}.attn2.to_q.bias"] = sd[f"{b}.cross_attn.q_linear.bias"]
-        kw, vw = np.split(sd[f"{b}.cross_attn.kv_linear.weight"], 2, axis=0)
-        kb, vb = np.split(sd[f"{b}.cross_attn.kv_linear.bias"], 2, axis=0)
-        dsd[f"{t}.attn2.to_k.weight"], dsd[f"{t}.attn2.to_v.weight"] = kw, vw
-        dsd[f"{t}.attn2.to_k.bias"], dsd[f"{t}.attn2.to_v.bias"] = kb, vb
-        dsd[f"{t}.attn2.to_out.0.weight"] = sd[f"{b}.cross_attn.proj.weight"]
-        dsd[f"{t}.attn2.to_out.0.bias"] = sd[f"{b}.cross_attn.proj.bias"]
-        dsd[f"{t}.ff.net.0.proj.weight"] = sd[f"{b}.mlp.fc1.weight"]
-        dsd[f"{t}.ff.net.0.proj.bias"] = sd[f"{b}.mlp.fc1.bias"]
-        dsd[f"{t}.ff.net.2.weight"] = sd[f"{b}.mlp.fc2.weight"]
-        dsd[f"{t}.ff.net.2.bias"] = sd[f"{b}.mlp.fc2.bias"]
+    from pixart_sigma_tpu.utils.checkpoint import torch_to_diffusers_state_dict
+
+    dsd = torch_to_diffusers_state_dict(sd)
 
     from safetensors.numpy import save_file
 

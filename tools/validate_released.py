@@ -346,7 +346,9 @@ def main():
 
     config, model = build_model(args)
     torch_sd = find_model(args.weights)
-    flax_params = torch_to_flax_params(torch_sd, model.cfg)
+    # strict: every checkpoint tensor must be consumed by this architecture
+    # (schema pinned offline by tests/test_key_manifests.py)
+    flax_params = torch_to_flax_params(torch_sd, model.cfg, strict=True)
     n_params = sum(int(np.prod(v.shape))
                    for v in torch_sd.values())
     report["load"] = {
