@@ -282,9 +282,15 @@ class Trainer:
             sampler = ShardedBatchSampler(
                 sampler, cfg.train_batch_size, n_proc, jax.process_index()
             )
+        # threads are the measured default (scripts/bench_loader.py, 256px
+        # B=64 on this host): image mode ~86-101 img/s at 16 workers vs the
+        # 82.5 img/s step rate, and the process pool is strictly SLOWER
+        # (~30 img/s — IPC of decoded pixels dominates). loader_processes
+        # stays available for hosts where item cost >> IPC cost.
         return DataLoader(
             dataset, sampler, num_workers=cfg.get("num_workers", 4),
             skip_batches=skip_batches,
+            use_processes=cfg.get("loader_processes", False),
         )
 
     # ----------------------------------------------------------------- loop

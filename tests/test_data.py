@@ -282,3 +282,75 @@ def test_sharded_sampler_rank_slices(tmp_path):
         )
         s.set_epoch(0)
         assert len(s) == len(list(iter(s)))
+
+
+def test_loader_process_pool_matches_threads(tmp_path):
+    """use_processes=True (torch num_workers analogue) must yield the exact
+    same batch stream as the thread pool; kept opt-in because measured IPC
+    cost makes it SLOWER for this repo's item shapes (bench_loader.py)."""
+    from pixart_sigma_tpu.data.datasets import PixArtMSDataset
+    from pixart_sigma_tpu.data.loader import DataLoader
+
+    root = _make_fake_sigma_root(tmp_path, n=8, uniform=True)
+    ds = PixArtMSDataset(
+        root, resolution=256, load_vae_feat=True, load_t5_feat=True,
+        aspect_ratio_type=256, max_length=32,
+    )
+    batches = [[0, 1, 2, 3], [4, 5, 6, 7]]
+
+    class _Fixed:
+        def __iter__(self):
+            return iter(batches)
+
+        def __len__(self):
+            return len(batches)
+
+    got_t = list(DataLoader(ds, _Fixed(), num_workers=2))
+    got_p = list(
+        DataLoader(ds, _Fixed(), num_workers=2, use_processes=True)
+    )
+    assert len(got_t) == len(got_p) == 2
+    for bt, bp in zip(got_t, got_p):
+        assert set(bt) == set(bp)
+        for k in bt:
+            if isinstance(bt[k], np.ndarray):
+                np.testing.assert_array_equal(bt[k], bp[k])
+            else:
+                assert bt[k] == bp[k]
+
+
+def test_loader_collate_overhead_regression():
+    """Loader + collate overhead on a zero-cost dataset stays far above any
+    training step rate (measured >1200 img/s; floor set 5x conservative)."""
+    import time
+
+    from pixart_sigma_tpu.data.loader import DataLoader
+
+    class _Null:
+        item = {
+            "latents": np.zeros((32, 32, 4), np.float32),
+            "y": np.zeros((300, 4096), np.float16),
+            "y_mask": np.ones((300,), np.int16),
+        }
+
+        def __len__(self):
+            return 64 * 12
+
+        def __getitem__(self, i):
+            return self.item
+
+    class _B:
+        def __iter__(self):
+            return iter([list(range(i * 64, (i + 1) * 64)) for i in range(12)])
+
+        def __len__(self):
+            return 12
+
+    loader = DataLoader(_Null(), _B(), num_workers=8)
+    it = iter(loader)
+    next(it)  # warm the pool
+    t0 = time.time()
+    n = sum(1 for _ in it)
+    dt = time.time() - t0
+    assert n == 11
+    assert n * 64 / dt > 240, f"loader overhead too high: {n * 64 / dt:.0f} img/s"

@@ -145,3 +145,69 @@ def test_serve_end_to_end(tmp_path):
             proc.wait(timeout=10)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_serve_mixed_load_fairness(tmp_path):
+    """Concurrent mixed-signature load (round-3 VERDICT next #8): two steps
+    groups compete; every request must complete, same-signature requests
+    must share batches, and neither shape group may starve."""
+    from tests.test_validate_released import _make_tiny_pth
+
+    pth = _make_tiny_pth(tmp_path)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    cfg_py = tmp_path / "serve_cfg.py"
+    cfg_py.write_text(
+        "_base_ = ["
+        f"{os.path.join(REPO, 'configs/pixart_sigma_config/PixArt_sigma_xl2_img256_internal.py')!r}"
+        "]\n"
+        "model_overrides = dict(depth=2, hidden_size=48, num_heads=4, "
+        "caption_channels=64, model_max_length=16)\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "scripts", "serve.py"),
+         "--config", str(cfg_py), "--model-path", pth,
+         "--pseudo-t5", "64", "--port", str(port), "--max-wait-ms", "300",
+         "--max-batch", "4"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        cwd=REPO,
+    )
+    try:
+        base = f"http://127.0.0.1:{port}"
+        for _ in range(120):
+            try:
+                urllib.request.urlopen(base + "/healthz", timeout=5)
+                break
+            except Exception:
+                assert proc.poll() is None, proc.communicate()[0]
+                time.sleep(1)
+
+        N = 12
+        results = [None] * N
+        threads = []
+        for i in range(N):
+            payload = {"prompt": f"p{i}", "steps": 2 if i % 3 else 3,
+                       "seed": i, "height": 256, "width": 256}
+            threads.append(threading.Thread(
+                target=_post, args=(base + "/generate", payload, results, i)
+            ))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+
+        assert all(r is not None for r in results), results  # no starvation
+        # the majority-signature group (steps=2, 8 requests) must batch
+        b2 = [results[i]["batched_with"] for i in range(N) if i % 3]
+        assert max(b2) > 1, b2
+        assert all(len(r["images"]) == 1 for r in results)
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
