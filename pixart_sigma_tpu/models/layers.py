@@ -24,6 +24,7 @@ from typing import Any, Callable, Optional, Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from pixart_sigma_tpu.ops.attention import attention
 
@@ -397,7 +398,7 @@ class PixArtBlock(nn.Module):
             use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
             name="norm1",
         )(x)
-        x = x + gate_msa * SelfAttentionKVCompress(
+        attn_out = SelfAttentionKVCompress(
             dim=D,
             num_heads=self.num_heads,
             sampling=self.sampling,
@@ -409,7 +410,12 @@ class PixArtBlock(nn.Module):
             dtype=self.dtype,
             name="attn",
         )(t2i_modulate(norm1, shift_msa, scale_msa))
-        x = x + MultiHeadCrossAttention(
+        # named residuals so remat_policy='save_attn' can keep exactly the
+        # attention outputs (N*D each — the expensive-to-recompute part)
+        # while rematerialising everything else (models/pixart.py)
+        attn_out = checkpoint_name(attn_out, "attn_out")
+        x = x + gate_msa * attn_out
+        cross_out = MultiHeadCrossAttention(
             dim=D,
             num_heads=self.num_heads,
             fp32_attention=self.fp32_attention,
@@ -417,6 +423,7 @@ class PixArtBlock(nn.Module):
             dtype=self.dtype,
             name="cross_attn",
         )(x, y, y_mask, kv=cross_kv)
+        x = x + checkpoint_name(cross_out, "cross_out")
         norm2 = nn.LayerNorm(
             use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
             name="norm2",

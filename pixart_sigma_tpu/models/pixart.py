@@ -156,6 +156,11 @@ def _remat_policy(name: str):
         "nothing": None,
         "dots": cp.dots_saveable,
         "dots_no_batch": cp.dots_with_no_batch_dims_saveable,
+        # save ONLY the self/cross attention outputs (checkpoint_name tags
+        # in models/layers.py): 2*N*D bf16 per layer (~19 MB/layer at
+        # 1024px B=4) — the backward skips recomputing the attention
+        # kernels while the big MLP/qkv intermediates still rematerialise
+        "save_attn": cp.save_only_these_names("attn_out", "cross_out"),
         "everything": cp.everything_saveable,
     }
     try:

@@ -340,3 +340,47 @@ def test_train_step_min_snr_and_masked():
     )
     _, m_plain = plain(state, batch, jax.random.PRNGKey(9))
     assert float(m_plain["loss"]) != pytest.approx(float(metrics["loss"]))
+
+
+@pytest.mark.parametrize("policy", ["save_attn", "dots", "everything"])
+def test_remat_policy_preserves_numerics(policy):
+    """remat_policy trades memory for recompute ONLY — loss and grads must
+    match the save-nothing default bit-for-fp-noise."""
+    def build(policy_name):
+        cfg = PixArtConfig(
+            depth=2, hidden_size=48, num_heads=4, caption_channels=32,
+            model_max_length=8, dtype=jnp.float32,
+            grad_checkpointing=True, remat_policy=policy_name,
+        )
+        return PixArt(cfg)
+
+    B = 4
+    nprng = np.random.RandomState(0)
+    batch = {
+        "latents": jnp.asarray(nprng.randn(B, 8, 8, 4).astype(np.float32)),
+        "y": jnp.asarray(nprng.randn(B, 8, 32).astype(np.float32)),
+        "y_mask": jnp.ones((B, 8), dtype=jnp.int32),
+    }
+    diffusion = IDDPM(timestep_respacing=[1000], learn_sigma=True,
+                      rescale_learned_sigmas=True)
+    base = build("nothing")
+    params = base.init(
+        {"params": jax.random.PRNGKey(0), "caption_drop": jax.random.PRNGKey(1)},
+        batch["latents"], jnp.zeros((B,)), batch["y"], batch["y_mask"],
+        train=True,
+    )["params"]
+    tx = build_optimizer(name="adamw", learning_rate=1e-3)
+
+    outs = {}
+    for name in ("nothing", policy):
+        state = TrainState.create(params=params, tx=tx, ema=False)
+        step = make_train_step(build(name), diffusion, mesh=None, donate=False)
+        s1, m = step(state, batch, jax.random.PRNGKey(5))
+        outs[name] = (float(m["loss"]), s1.params)
+    assert outs["nothing"][0] == pytest.approx(outs[policy][0], rel=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs["nothing"][1]),
+        jax.tree_util.tree_leaves(outs[policy][1]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
