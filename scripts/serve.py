@@ -119,30 +119,51 @@ class MicroBatcher:
         return height // 8, width // 8
 
     def _loop(self):
+        # signature-keyed pending groups: interleaved mixed-signature
+        # arrivals still batch with their own kind (a strict in-arrival-
+        # order batcher measured mean_batched_with 1.38 and 0.25 img/s on
+        # alternating steps=20/14 TPU load vs 8.0 / 0.375 uniform —
+        # docs/performance.md §serving)
+        pending: dict = {}  # sig -> [(req, arrival_time), ...]
         while not self._stop.is_set():
-            req = self.q.get()
-            if req is None:
-                continue
-            batch = [req]
-            sig = self._sig(req)
-            deadline = time.time() + self.max_wait
-            # collect compatible requests until the window closes
-            while len(batch) < self.max_batch:
-                remaining = deadline - time.time()
-                if remaining <= 0:
-                    break
+            timeout = None
+            if pending:
+                oldest = min(g[0][1] for g in pending.values())
+                timeout = max(0.0, oldest + self.max_wait - time.time())
+            try:
+                req = self.q.get(timeout=timeout)
+                if req is not None:
+                    pending.setdefault(self._sig(req), []).append(
+                        (req, time.time())
+                    )
+            except queue.Empty:
+                pass
+            # drain whatever else already queued before choosing batches
+            while True:
                 try:
-                    nxt = self.q.get(timeout=remaining)
+                    nxt = self.q.get_nowait()
                 except queue.Empty:
                     break
-                if nxt is None:
-                    continue
-                if self._sig(nxt) == sig:
-                    batch.append(nxt)
-                else:
-                    self.q.put(nxt)  # different program: next round
-                    break
-            self._run(batch)
+                if nxt is not None:
+                    pending.setdefault(self._sig(nxt), []).append(
+                        (nxt, time.time())
+                    )
+            now = time.time()
+            for sig in sorted(
+                pending, key=lambda s: pending[s][0][1]
+            ):  # oldest group first (no starvation)
+                group = pending[sig]
+                if len(group) >= self.max_batch or (
+                    now - group[0][1] >= self.max_wait
+                ):
+                    rest = group[self.max_batch:]
+                    batch = [r for r, _ in group[: self.max_batch]]
+                    if rest:
+                        pending[sig] = rest
+                    else:
+                        del pending[sig]
+                    self._run(batch)
+                    break  # re-check the queue between batches
 
     def _run(self, batch):
         try:
