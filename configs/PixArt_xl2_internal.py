@@ -38,7 +38,9 @@ kv_compress_config = {
 scan_blocks = True  # compile depth as nn.scan groups (fast XLA compile)
 
 # parallelism (TPU mesh; replaces the reference's DDP/FSDP accelerate knobs)
-mesh = dict(data=-1, fsdp=1, tensor=1)
+mesh = dict(data=-1, fsdp=1, tensor=1, seq=1)
+# seq > 1: sequence/context parallelism — activations' token dim sharded
+# over the mesh (chunked attention + GSPMD collectives); for 2K/4K grids
 use_fsdp = False  # shard params/opt-state over the fsdp axis
 use_tensor_parallel = False  # megatron TP on attn/MLP kernels (tensor axis)
 

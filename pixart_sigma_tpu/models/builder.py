@@ -40,6 +40,7 @@ def model_kwargs_from_config(config, **overrides) -> Dict[str, Any]:
         fp32_attention=config.get("fp32_attention", False),
         attn_impl=config.get("attn_impl", "auto"),
         grad_checkpointing=config.get("grad_checkpointing", False),
+        quant_int8=config.get("quant_int8", False),
         remat_policy=config.get("remat_policy", "nothing"),
         scan_blocks=config.get("scan_blocks", True),
         # masked-token training (reference config knobs mask_type /

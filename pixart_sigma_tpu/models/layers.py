@@ -27,6 +27,7 @@ from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
 from pixart_sigma_tpu.ops.attention import attention
+from pixart_sigma_tpu.parallel.mesh import seq_axis_size, seq_constraint
 
 Dtype = Any
 
@@ -45,6 +46,41 @@ def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
     return nn.gelu(x, approximate=True)
 
 
+class QuantDense(nn.Module):
+    """Drop-in nn.Dense with a dynamic-int8 (W8A8) matmul (ops/quant.py).
+
+    Identical param names/shapes/dtypes to nn.Dense, so every checkpoint
+    dialect loads unchanged; only the compute path differs (int8 MXU
+    accumulation — 2x the bf16 rate on v5e). Opt-in via config
+    `quant_int8` for the serving path; not a reference feature.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = xavier
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from pixart_sigma_tpu.ops.quant import int8_matmul
+
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", zeros, (self.features,), jnp.float32)
+            if self.use_bias else None
+        )
+        return int8_matmul(x, kernel, bias, out_dtype=self.dtype)
+
+
+def _dense(features, *, quant: bool, dtype, kernel_init, name: str):
+    """nn.Dense, or its int8 twin when the quantized serving path is on."""
+    cls = QuantDense if quant else nn.Dense
+    return cls(features, dtype=dtype, kernel_init=kernel_init, name=name)
+
+
 class Mlp(nn.Module):
     """Transformer MLP (timm Mlp semantics: fc1 -> act -> fc2)."""
 
@@ -52,17 +88,18 @@ class Mlp(nn.Module):
     out_features: int
     dtype: Dtype = jnp.float32
     kernel_init: Callable = xavier
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(
-            self.hidden_features, dtype=self.dtype, kernel_init=self.kernel_init,
-            name="fc1",
+        x = _dense(
+            self.hidden_features, quant=self.quant, dtype=self.dtype,
+            kernel_init=self.kernel_init, name="fc1",
         )(x)
         x = gelu_tanh(x)
-        x = nn.Dense(
-            self.out_features, dtype=self.dtype, kernel_init=self.kernel_init,
-            name="fc2",
+        x = _dense(
+            self.out_features, quant=self.quant, dtype=self.dtype,
+            kernel_init=self.kernel_init, name="fc2",
         )(x)
         return x
 
@@ -213,6 +250,7 @@ class SelfAttentionKVCompress(nn.Module):
     fp32_attention: bool = False
     attn_impl: str = "auto"
     hw: Optional[tuple[int, int]] = None  # static latent grid (h, w)
+    quant: bool = False  # int8 qkv/proj matmuls (attention math stays bf16)
     dtype: Dtype = jnp.float32
 
     def _downsample(self, t: jnp.ndarray, H: int, W: int, conv_params) -> jnp.ndarray:
@@ -248,7 +286,10 @@ class SelfAttentionKVCompress(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, N, C = x.shape
         H, W = self.hw if self.hw is not None else (int(N**0.5), int(N**0.5))
-        qkv = nn.Dense(3 * C, dtype=self.dtype, kernel_init=xavier, name="qkv")(x)
+        qkv = _dense(
+            3 * C, quant=self.quant, dtype=self.dtype, kernel_init=xavier,
+            name="qkv",
+        )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if self.qk_norm:
             q = nn.LayerNorm(dtype=self.dtype, name="q_norm")(q)
@@ -269,6 +310,13 @@ class SelfAttentionKVCompress(nn.Module):
             k = self._downsample(k, H, W, conv_params)
             v = self._downsample(v, H, W, conv_params)
         M = k.shape[1]
+        if seq_axis_size() > 1:
+            # context-parallel self-attention: queries stay token-sharded,
+            # K/V are all-gathered once (cheap O(M*C) vs the O(N*M*C/seq)
+            # attention compute); the chunked impl then splits over queries
+            q = seq_constraint(q)
+            k = jax.lax.with_sharding_constraint(k, jax.sharding.PartitionSpec())
+            v = jax.lax.with_sharding_constraint(v, jax.sharding.PartitionSpec())
         dh = C // self.num_heads
         out = attention(
             q.reshape(B, N, self.num_heads, dh),
@@ -277,7 +325,10 @@ class SelfAttentionKVCompress(nn.Module):
             fp32_softmax=self.fp32_attention,
             impl=self.attn_impl,
         ).reshape(B, N, C)
-        return nn.Dense(C, dtype=self.dtype, kernel_init=xavier, name="proj")(out)
+        return _dense(
+            C, quant=self.quant, dtype=self.dtype, kernel_init=xavier,
+            name="proj",
+        )(out)
 
 
 class MultiHeadCrossAttention(nn.Module):
@@ -291,6 +342,7 @@ class MultiHeadCrossAttention(nn.Module):
     num_heads: int
     fp32_attention: bool = False
     attn_impl: str = "auto"
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -307,10 +359,14 @@ class MultiHeadCrossAttention(nn.Module):
         step on v5e). See pixart.precompute_cross_kv."""
         B, N, C = x.shape
         dh = C // self.num_heads
-        q = nn.Dense(C, dtype=self.dtype, kernel_init=xavier, name="q_linear")(x)
+        q = _dense(
+            C, quant=self.quant, dtype=self.dtype, kernel_init=xavier,
+            name="q_linear",
+        )(x)
         if kv is None:
-            kv = nn.Dense(
-                2 * C, dtype=self.dtype, kernel_init=xavier, name="kv_linear"
+            kv = _dense(
+                2 * C, quant=self.quant, dtype=self.dtype, kernel_init=xavier,
+                name="kv_linear",
             )(cond)
         else:
             kv = kv.astype(self.dtype)
@@ -324,7 +380,10 @@ class MultiHeadCrossAttention(nn.Module):
             fp32_softmax=self.fp32_attention,
             impl=self.attn_impl,
         ).reshape(B, N, C)
-        return nn.Dense(C, dtype=self.dtype, kernel_init=zeros, name="proj")(out)
+        return _dense(
+            C, quant=self.quant, dtype=self.dtype, kernel_init=zeros,
+            name="proj",
+        )(out)
 
 
 class T2IFinalLayer(nn.Module):
@@ -373,6 +432,7 @@ class PixArtBlock(nn.Module):
     fp32_attention: bool = False
     attn_impl: str = "auto"
     hw: Optional[tuple[int, int]] = None  # static latent grid (h, w)
+    quant: bool = False  # int8 projection/MLP matmuls (serving mode)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -384,6 +444,9 @@ class PixArtBlock(nn.Module):
         y_mask: Optional[jnp.ndarray] = None,  # [B, L]
         cross_kv: Optional[jnp.ndarray] = None,  # [B, L, 2D] hoisted K/V
     ) -> jnp.ndarray:
+        # sequence parallelism: re-pin the token dim to the ambient 'seq'
+        # mesh axis at every block boundary (no-op without such a mesh)
+        x = seq_constraint(x)
         B, N, D = x.shape
         table = self.param(
             "scale_shift_table",
@@ -407,6 +470,7 @@ class PixArtBlock(nn.Module):
             fp32_attention=self.fp32_attention,
             attn_impl=self.attn_impl,
             hw=self.hw,
+            quant=self.quant,
             dtype=self.dtype,
             name="attn",
         )(t2i_modulate(norm1, shift_msa, scale_msa))
@@ -420,6 +484,7 @@ class PixArtBlock(nn.Module):
             num_heads=self.num_heads,
             fp32_attention=self.fp32_attention,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             dtype=self.dtype,
             name="cross_attn",
         )(x, y, y_mask, kv=cross_kv)
@@ -431,6 +496,7 @@ class PixArtBlock(nn.Module):
         x = x + gate_mlp * Mlp(
             hidden_features=int(D * self.mlp_ratio),
             out_features=D,
+            quant=self.quant,
             dtype=self.dtype,
             name="mlp",
         )(t2i_modulate(norm2, shift_mlp, scale_mlp))

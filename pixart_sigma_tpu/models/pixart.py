@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -36,6 +37,7 @@ from pixart_sigma_tpu.models.layers import (
     TimestepEmbedder,
 )
 from pixart_sigma_tpu.ops.pos_embed import get_2d_sincos_pos_embed
+from pixart_sigma_tpu.parallel.mesh import seq_axis_size, seq_constraint
 
 
 class _ScanPixArtBlock(PixArtBlock):
@@ -91,6 +93,10 @@ class PixArtConfig:
     dtype: Any = jnp.bfloat16
     fp32_attention: bool = False
     attn_impl: str = "auto"
+    # Dynamic int8 (W8A8) projection/MLP matmuls — opt-in quantized SERVING
+    # mode (ops/quant.py; int8 MXU runs at 2x the bf16 rate on v5e).
+    # Checkpoint layout is unchanged; attention math stays bf16/f32.
+    quant_int8: bool = False
     grad_checkpointing: bool = False
     # Rematerialisation policy for the per-block nn.remat when
     # grad_checkpointing is on. 'nothing' = save nothing (max memory
@@ -216,6 +222,9 @@ class PixArt(nn.Module):
             patch_size=p, embed_dim=cfg.hidden_size, dtype=dtype, name="x_embedder"
         )(x)
         x = x + jnp.asarray(pos, dtype=dtype)[None]
+        # sequence parallelism: shard tokens over the ambient 'seq' mesh axis
+        # (no-op without one); blocks re-pin this at every boundary
+        x = seq_constraint(x)
 
         token_mask = mask_info = None
         if train and cfg.mask_ratio > 0 and not self.is_initializing():
@@ -291,6 +300,7 @@ class PixArt(nn.Module):
                 fp32_attention=cfg.fp32_attention,
                 attn_impl=cfg.attn_impl,
                 hw=(h, w),
+                quant=cfg.quant_int8,
                 dtype=dtype,
             )
 
@@ -390,6 +400,14 @@ class PixArt(nn.Module):
             name="final_layer",
         )(x, t)
         out = self.unpatchify(x, h, w).astype(jnp.float32)
+        if seq_axis_size() > 1:
+            # pin the output layout: GSPMD otherwise picks an arbitrary 2D
+            # (H, W) tiling for the unpatchified image that jax cannot
+            # express as a NamedSharding of the ('data', ..., 'seq') mesh.
+            # The denoised latent is small — replicate it (one all-gather).
+            out = jax.lax.with_sharding_constraint(
+                out, jax.sharding.PartitionSpec()
+            )
         if block_cache is not None:
             return out, new_cache
         if token_mask is not None:

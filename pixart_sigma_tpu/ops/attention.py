@@ -49,6 +49,114 @@ def _xla_attention(
     return out.astype(dtype)
 
 
+_NEG = -1e30  # finite -inf stand-in: exp(_NEG - x) underflows to 0 in f32
+
+
+def chunked_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    key_mask: Optional[jnp.ndarray] = None,
+    chunk: int = 1024,
+) -> jnp.ndarray:
+    """Online-softmax attention scanned over KEY chunks, in pure XLA ops.
+
+    Flash-attention memory behavior (no [N, M] logits buffer — the live
+    buffer is [B, H, N, chunk]) without a Pallas kernel, so GSPMD can
+    partition it: with q sharded over tokens (sequence/context parallelism)
+    the scan body's einsums split over the query dim and XLA inserts the
+    K/V collectives. This is the sequence-parallel self-attention path for
+    2K/4K grids (65k tokens), where any materialised logits tensor is
+    impossible and opaque Pallas calls cannot be auto-partitioned.
+
+    Numerics: f32 running max/denominator/accumulator — matches the
+    fp32-softmax XLA path to f32 tolerance.
+    """
+    B, N, H, Dh = q.shape
+    M = k.shape[1]
+    scale = Dh**-0.5
+    dtype = q.dtype
+    chunk = min(chunk, M)
+    pad = (-M) % chunk
+    if key_mask is None:
+        key_mask = jnp.ones((B, M), dtype=bool)
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        key_mask = jnp.pad(key_mask.astype(bool), ((0, 0), (0, pad)))
+    n_chunks = (M + pad) // chunk
+    # [C, B, chunk, H, Dh] so lax.scan slices a chunk per step
+    ks = jnp.moveaxis(k.reshape(B, n_chunks, chunk, H, Dh), 1, 0)
+    vs = jnp.moveaxis(v.reshape(B, n_chunks, chunk, H, Dh), 1, 0)
+    ms = jnp.moveaxis(key_mask.reshape(B, n_chunks, chunk), 1, 0)
+
+    m0 = jnp.full((B, H, N), _NEG, dtype=jnp.float32)
+    l0 = jnp.zeros((B, H, N), dtype=jnp.float32)
+    a0 = jnp.zeros((B, H, N, Dh), dtype=jnp.float32)
+
+    def body(carry, inputs):
+        m, l, acc = carry
+        kc, vc, mc = inputs
+        logits = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, kc, preferred_element_type=jnp.float32
+        ) * scale
+        logits = jnp.where(mc[:, None, None, :], logits, _NEG)
+        m_new = jnp.maximum(m, logits.max(axis=-1))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new[..., None])
+        l_new = l * corr + p.sum(axis=-1)
+        pv = jnp.einsum(
+            "bhnm,bmhd->bhnd", p.astype(dtype), vc,
+            preferred_element_type=jnp.float32,
+        )
+        acc_new = acc * corr[..., None] + pv
+        return (m_new, l_new, acc_new), None
+
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0), (ks, vs, ms))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return jnp.einsum("bhnd->bnhd", out).astype(dtype)
+
+
+def seq_sharded_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    key_mask: Optional[jnp.ndarray] = None,
+    fp32_softmax: bool = False,
+    axis: str = "seq",
+) -> jnp.ndarray:
+    """Context-parallel attention: shard_map over the ambient mesh's seq
+    axis. Queries stay token-sharded; K/V are replicated (one gather,
+    O(M*C) comm vs O(N*M*C/seq) compute); each device then runs the best
+    SINGLE-CHIP impl — the Pallas one-pass/flash kernel on TPU — on its
+    query shard. This keeps the kernel's measured 4.5x advantage over the
+    GSPMD-partitionable chunked-XLA path (81 vs 18 ms at N=M=4096, v5e)
+    while still splitting the work across the axis; chunked remains the
+    fallback when shapes don't divide.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    am = jax.sharding.get_abstract_mesh()
+    q_spec = P(None, axis, None, None)
+    if key_mask is None:
+        f = jax.shard_map(
+            lambda q, k, v: attention(
+                q, k, v, fp32_softmax=fp32_softmax, impl="auto_local"
+            ),
+            mesh=am, in_specs=(q_spec, P(), P()), out_specs=q_spec,
+        )
+        return f(q, k, v)
+    f = jax.shard_map(
+        lambda q, k, v, m: attention(
+            q, k, v, key_mask=m, fp32_softmax=fp32_softmax, impl="auto_local"
+        ),
+        mesh=am, in_specs=(q_spec, P(), P(), P()), out_specs=q_spec,
+    )
+    return f(q, k, v, key_mask)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -64,11 +172,21 @@ def attention(
     q: [B, N, H, Dh]; k, v: [B, M, H, Dh]
     key_mask: [B, M] bool — True for valid keys (padded keys masked out)
     bias: [B, H, N, M] or broadcastable additive bias
-    impl: 'auto' | 'xla' | 'flash'
+    impl: 'auto' | 'xla' | 'flash' | 'chunked' | ... ('auto_local' = auto
+    without the sequence-parallel redirect; used inside shard_map)
     """
     choice = impl
-    if impl == "auto":
-        choice = _dispatch(q, k, key_mask) if bias is None else "xla"
+    if impl in ("auto", "auto_local"):
+        choice = (
+            _dispatch(q, k, key_mask, local=impl == "auto_local")
+            if bias is None else "xla"
+        )
+
+    if choice == "seqshard":
+        assert bias is None, "seq-sharded attention: dense bias unsupported"
+        return seq_sharded_attention(
+            q, k, v, key_mask=key_mask, fp32_softmax=fp32_softmax
+        )
 
     if choice == "allheads":
         from pixart_sigma_tpu.ops.flash_attention import crossattn_allheads
@@ -90,10 +208,14 @@ def attention(
         from pixart_sigma_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, bias=bias, key_mask=key_mask)
+    if choice == "chunked":
+        assert bias is None, "chunked impl: dense bias unsupported; impl='xla'"
+        return chunked_attention(q, k, v, key_mask=key_mask)
     if choice != "xla":
         raise ValueError(
             f"unknown attention impl {choice!r}; expected one of "
-            "'auto', 'xla', 'flash', 'onepass', 'allheads', 'headsmajor'"
+            "'auto', 'xla', 'flash', 'chunked', 'onepass', 'allheads', "
+            "'headsmajor'"
         )
 
     if key_mask is not None:
@@ -104,8 +226,25 @@ def attention(
     return _xla_attention(q, k, v, bias, fp32_softmax)
 
 
-def _dispatch(q: jnp.ndarray, k: jnp.ndarray, key_mask) -> str:
-    """Pick the fastest path on TPU (gates tuned from v5e measurements)."""
+def _dispatch(q: jnp.ndarray, k: jnp.ndarray, key_mask, local: bool = False) -> str:
+    """Pick the fastest path on TPU (gates tuned from v5e measurements).
+
+    `local`: we are already inside the seq-parallel shard_map — dispatch
+    for this device's query shard only (no further seq redirect)."""
+    from pixart_sigma_tpu.parallel.mesh import seq_axis_size
+
+    if not local:
+        seq = seq_axis_size()
+        if seq > 1:
+            # sequence-parallel context. Long K/V (self-attention): shard_map
+            # the token-sharded queries and run the Pallas kernel per shard
+            # (measured 4.5x faster than the GSPMD-partitionable chunked
+            # path single-chip); chunked is the fallback when the token
+            # count doesn't divide the axis. Short caption K/V: the plain
+            # einsum partitions fine under GSPMD.
+            if k.shape[1] <= 512:
+                return "xla"
+            return "seqshard" if q.shape[1] % seq == 0 else "chunked"
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:

@@ -12,6 +12,8 @@ from pixart_sigma_tpu.parallel.mesh import (  # noqa: F401
     data_sharding,
     param_sharding,
     replicated,
+    seq_axis_size,
+    seq_constraint,
 )
 from pixart_sigma_tpu.parallel.dist import (  # noqa: F401
     initialize_distributed,

@@ -27,27 +27,60 @@ class MeshConfig:
     data: int = -1  # -1: use all remaining devices
     fsdp: int = 1
     tensor: int = 1
+    seq: int = 1  # sequence/context parallelism (token dim of activations)
 
-    def resolve(self, n_devices: int) -> tuple[int, int, int]:
-        d, f, t = self.data, self.fsdp, self.tensor
+    def resolve(self, n_devices: int) -> tuple[int, int, int, int]:
+        d, f, t, s = self.data, self.fsdp, self.tensor, self.seq
         if d == -1:
-            assert n_devices % (f * t) == 0, (n_devices, f, t)
-            d = n_devices // (f * t)
-        assert d * f * t == n_devices, (
-            f"mesh {d}x{f}x{t} != {n_devices} devices"
+            assert n_devices % (f * t * s) == 0, (n_devices, f, t, s)
+            d = n_devices // (f * t * s)
+        assert d * f * t * s == n_devices, (
+            f"mesh {d}x{f}x{t}x{s} != {n_devices} devices"
         )
-        return d, f, t
+        return d, f, t, s
 
 
 def build_mesh(
     config: Optional[MeshConfig] = None, devices=None
 ) -> Mesh:
-    """Build a ('data', 'fsdp', 'tensor') mesh over the given devices."""
+    """Build a ('data', 'fsdp', 'tensor', 'seq') mesh over the devices."""
     config = config or MeshConfig()
     devices = devices if devices is not None else jax.devices()
-    d, f, t = config.resolve(len(devices))
-    dev_array = np.asarray(devices).reshape(d, f, t)
-    return Mesh(dev_array, axis_names=("data", "fsdp", "tensor"))
+    d, f, t, s = config.resolve(len(devices))
+    dev_array = np.asarray(devices).reshape(d, f, t, s)
+    return Mesh(dev_array, axis_names=("data", "fsdp", "tensor", "seq"))
+
+
+def seq_axis_size(axis: str = "seq") -> int:
+    """Size of the ambient sequence-parallel mesh axis (1 if none active).
+
+    Reads the abstract mesh installed by `jax.set_mesh(mesh)` — usable from
+    inside jitted model code to decide trace-time layout/impl choices.
+    """
+    try:
+        am = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return 1
+    if am is None or am.empty or axis not in am.axis_names:
+        return 1
+    return int(am.shape[axis])
+
+
+def seq_constraint(x, dim: int = 1, axis: str = "seq"):
+    """Constrain `dim` (the token dim) of x to shard over the ambient mesh's
+    sequence axis; no-op when no mesh with that axis is active.
+
+    This is the whole sequence-parallelism mechanism: annotate the token dim
+    at block boundaries and let GSPMD split every per-token op and insert
+    the K/V collectives for attention (scaling-book recipe — shardings in,
+    collectives out). The reference has no sequence/context parallelism
+    (SURVEY.md §2.2: absent); this is TPU-native headroom for 2K/4K grids.
+    """
+    if seq_axis_size(axis) <= 1:
+        return x
+    spec = [None] * x.ndim
+    spec[dim] = axis
+    return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -119,9 +119,26 @@ class PixArtPipeline:
         img = np.asarray(jnp.clip((img + 1.0) / 2.0, 0.0, 1.0))
         return (img * 255).round().astype(np.uint8)
 
+    def _seq_parallel(self) -> bool:
+        """True when the pipeline mesh carries a real 'seq' axis
+        (sequence/context parallelism over the token dim)."""
+        return self.mesh is not None and dict(
+            zip(self.mesh.axis_names, self.mesh.devices.shape)
+        ).get("seq", 1) > 1
+
     def _cached(self, key, build):
         if key not in self._jit_cache:
-            self._jit_cache[key] = build()
+            fn = build()
+            if self._seq_parallel():
+                # the model's seq_constraint annotations read the AMBIENT
+                # mesh at trace time: trace+run under jax.set_mesh
+                raw, mesh = fn, self.mesh
+
+                def fn(*a, **kw):
+                    with jax.set_mesh(mesh):
+                        return raw(*a, **kw)
+
+            self._jit_cache[key] = fn
         return self._jit_cache[key]
 
     def __call__(

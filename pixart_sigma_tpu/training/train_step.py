@@ -146,6 +146,15 @@ def make_train_step(
         )
 
     cache: dict[Any, Callable] = {}
+    # sequence parallelism: the model's seq_constraint annotations read the
+    # AMBIENT mesh at trace time, so trace/execute under jax.set_mesh when
+    # the mesh carries a real seq axis (no-op context otherwise)
+    seq_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("seq", 1)
+
+    def _mesh_ctx():
+        import contextlib
+
+        return jax.set_mesh(mesh) if seq_size > 1 else contextlib.nullcontext()
 
     def jitted(state, batch, rng, sampler=None):
         # one compiled program per batch-shape signature (aspect-ratio bucket)
@@ -168,9 +177,10 @@ def make_train_step(
                     out_shardings=(state_sh, repl),
                     donate_argnums=(0,) if donate else (),
                 )
-        if use_resampler:
-            return cache[key](state, batch, rng, sampler)
-        return cache[key](state, batch, rng)
+        with _mesh_ctx():
+            if use_resampler:
+                return cache[key](state, batch, rng, sampler)
+            return cache[key](state, batch, rng)
 
     # exposed for HLO/sharding inspection (tests assert the compiled step
     # contains the expected fsdp collectives and no full weight replication)

@@ -1,4 +1,4 @@
-"""Microbenchmark: attention impls (xla / flash / onepass) on the real TPU.
+"""Microbenchmark: attention impls (xla / flash / onepass / chunked) on the real TPU.
 
 Production shapes for the 1024px kv-compress operating point (CFG-doubled
 batch 16, 16 heads, head dim 72):
@@ -16,8 +16,11 @@ Usage: python scripts/bench_attention.py [reps]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -69,7 +72,7 @@ def main() -> None:
                 (B, 1), bool
             )
         tf = flops(B, N, M, H, Dh) / 1e12
-        for impl in ("xla", "flash", "onepass"):
+        for impl in ("xla", "flash", "onepass", "chunked"):
             if impl == "onepass" and M > 4096:
                 continue
             try:

@@ -64,6 +64,12 @@ def parse_args():
                         "CFG null is the model's learned null caption")
     p.add_argument("--scale-factor", type=float, default=None,
                    help="latent scale override (toy VAE; default per version)")
+    p.add_argument("--int8", action="store_true",
+                   help="dynamic-int8 (W8A8) projection/MLP matmuls — "
+                        "quantized serving mode (2x MXU rate on v5e)")
+    p.add_argument("--seq-parallel", type=int, default=0, metavar="N",
+                   help="shard the token dim over N devices (sequence/"
+                        "context parallelism; for 2K/4K grids on pods)")
     p.add_argument("--load-ema", action="store_true",
                    help="load EMA params from an orbax train-state checkpoint")
     return p.parse_args()
@@ -93,6 +99,8 @@ def main():
     if args.config:
         config = read_config(args.config)
         extra = {}
+        if args.int8:
+            extra["quant_int8"] = True
         if (args.block_cache_interval >= 2 or args.block_cache_threshold is not None
                 or args.block_cache_schedule):
             k1, k2 = (int(v) for v in args.cache_span.split(":"))
@@ -101,6 +109,8 @@ def main():
     else:
         max_len = 300 if args.version == "sigma" else 120
         extra = {}
+        if args.int8:
+            extra["quant_int8"] = True
         if (args.block_cache_interval >= 2 or args.block_cache_threshold is not None
                 or args.block_cache_schedule):
             k1, k2 = (int(v) for v in args.cache_span.split(":"))
@@ -151,9 +161,14 @@ def main():
 
     base_res = config.get("image_size", args.image_size) if args.config \
         else args.image_size
+    mesh = None
+    if args.seq_parallel and args.seq_parallel > 1:
+        from pixart_sigma_tpu.parallel.mesh import MeshConfig, build_mesh
+
+        mesh = build_mesh(MeshConfig(data=-1, seq=args.seq_parallel))
     pipe = PixArtPipeline(
         model, params, t5=t5, vae=vae, vae_params=vae_params,
-        scale_factor=scale, base_resolution=base_res,
+        scale_factor=scale, base_resolution=base_res, mesh=mesh,
     )
 
     # pseudo-T5 has no encoding of "" — CFG null is the learned null caption

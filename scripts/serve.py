@@ -337,7 +337,8 @@ def build_pipeline(args):
 
     enable_compilation_cache()
     config = read_config(args.config)
-    model = build_model_from_config(config)
+    model = build_model_from_config(
+        config, **({"quant_int8": True} if getattr(args, "int8", False) else {}))
     params = {"params": ckpt_io.load_checkpoint(
         args.model_path, model.cfg, load_ema=args.load_ema)}
 
@@ -382,6 +383,9 @@ def main():
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--int8", action="store_true",
+                   help="dynamic-int8 (W8A8) projection/MLP matmuls — "
+                        "quantized serving (2x MXU rate on v5e)")
     p.add_argument("--max-wait-ms", type=int, default=25)
     p.add_argument("--warmup", action="store_true",
                    help="compile the default program before serving")

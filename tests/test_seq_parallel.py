@@ -1,0 +1,265 @@
+"""Sequence/context parallelism: chunked attention + token-sharded forward.
+
+The reference has NO sequence/context parallelism (SURVEY.md §2.2 — long
+sequences are handled algorithmically via KV compression); this is
+TPU-native headroom for the 2K/4K grids (65k tokens). Mechanism (the
+scaling-book recipe): the model pins the token dim of activations to a
+'seq' mesh axis via sharding constraints (parallel/mesh.py seq_constraint)
+and attention switches to a GSPMD-partitionable chunked online-softmax
+implementation (ops/attention.py chunked_attention); XLA inserts the K/V
+all-gather + halo exchanges (kv-compress conv) automatically.
+
+All tests run on the 8-device virtual CPU mesh (conftest.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from pixart_sigma_tpu.models.pixart import PixArt, PixArtConfig
+from pixart_sigma_tpu.ops.attention import attention, chunked_attention
+from pixart_sigma_tpu.parallel.mesh import (
+    MeshConfig,
+    build_mesh,
+    seq_axis_size,
+)
+
+
+@pytest.mark.parametrize(
+    "B,N,M,H,Dh,chunk,masked",
+    [
+        (2, 64, 64, 4, 16, 16, False),   # even chunks
+        (2, 64, 50, 4, 16, 16, True),    # uneven M -> padded tail chunk
+        (1, 32, 300, 2, 72, 128, True),  # caption-like K/V, mask
+        (2, 48, 8, 2, 16, 64, False),    # M < chunk (single clamped chunk)
+    ],
+)
+def test_chunked_matches_xla(B, N, M, H, Dh, chunk, masked):
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    key_mask = None
+    if masked:
+        key_mask = jnp.asarray(rng.rand(B, M) > 0.3)
+        key_mask = key_mask.at[:, 0].set(True)  # no fully-masked rows
+    want = attention(q, k, v, key_mask=key_mask, impl="xla", fp32_softmax=True)
+    got = chunked_attention(q, k, v, key_mask=key_mask, chunk=chunk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_chunked_gradients_match_xla():
+    rng = np.random.RandomState(1)
+    B, N, M, H, Dh = 2, 32, 40, 2, 16
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    cot = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+
+    def loss(impl):
+        def f(q, k, v):
+            if impl == "chunked":
+                out = chunked_attention(q, k, v, chunk=16)
+            else:
+                out = attention(q, k, v, impl="xla", fp32_softmax=True)
+            return (out * cot).sum()
+
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    for a, b in zip(loss("chunked"), loss("xla")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        depth=2, hidden_size=48, num_heads=4, caption_channels=32,
+        model_max_length=8, in_channels=4, dtype=jnp.float32,
+    )
+    base.update(kw)
+    return PixArtConfig(**base)
+
+
+def _inputs(B=2, H=16, W=16, L=8, cch=32):
+    rng = np.random.RandomState(2)
+    return (
+        jnp.asarray(rng.randn(B, H, W, 4).astype(np.float32)),
+        jnp.asarray([5.0, 700.0][:B]),
+        jnp.asarray(rng.randn(B, L, cch).astype(np.float32)),
+        jnp.asarray((rng.rand(B, L) > 0.2).astype(np.int32)),
+    )
+
+
+def _seq_mesh(seq=8):
+    return build_mesh(MeshConfig(data=-1, seq=seq))
+
+
+def _forward_pair(cfg, inputs, mesh):
+    """(unsharded, seq-sharded) forward outputs for the same params."""
+    model = PixArt(cfg)
+    x, t, y, mask = inputs
+    params = model.init(jax.random.PRNGKey(0), x, t, y, mask)
+    fn = jax.jit(lambda p, *a: model.apply(p, *a))
+    base = np.asarray(fn(params, x, t, y, mask))
+    with jax.set_mesh(mesh):
+        assert seq_axis_size() == mesh.shape["seq"]
+        sharded = np.asarray(fn(params, x, t, y, mask))
+    return base, sharded
+
+
+@pytest.mark.parametrize("seq", [2, 8])
+def test_seq_sharded_forward_matches_single(seq):
+    base, sharded = _forward_pair(_tiny_cfg(), _inputs(), _seq_mesh(seq))
+    np.testing.assert_allclose(sharded, base, rtol=2e-5, atol=2e-5)
+
+
+def test_seq_sharded_kv_compress_conv_matches_single():
+    # conv KV compression reshapes tokens back to the 2D grid: under token
+    # sharding GSPMD must handle the strided depthwise conv across shard
+    # boundaries (halo exchange)
+    cfg = _tiny_cfg(
+        kv_compress_sampling="conv", kv_compress_scale=2,
+        kv_compress_layers=(0, 1), qk_norm=True,
+    )
+    base, sharded = _forward_pair(cfg, _inputs(), _seq_mesh(8))
+    np.testing.assert_allclose(sharded, base, rtol=2e-5, atol=2e-5)
+
+
+def test_seq_sharded_rectangular_multiscale_matches_single():
+    cfg = _tiny_cfg(multi_scale=True)
+    base, sharded = _forward_pair(cfg, _inputs(H=8, W=24), _seq_mesh(8))
+    np.testing.assert_allclose(sharded, base, rtol=2e-5, atol=2e-5)
+
+
+def test_seq_mesh_compiles_collectives_not_replication():
+    """The compiled seq-sharded forward must contain a K/V all-gather and
+    keep per-device logits buffers at 1/seq of the full shape."""
+    cfg = _tiny_cfg(depth=1)
+    model = PixArt(cfg)
+    x, t, y, mask = _inputs()
+    params = model.init(jax.random.PRNGKey(0), x, t, y, mask)
+    mesh = _seq_mesh(8)
+    with jax.set_mesh(mesh):
+        fn = jax.jit(lambda p, *a: model.apply(p, *a))
+        lowered = fn.lower(params, x, t, y, mask)
+        hlo = lowered.compile().as_text()
+    assert "all-gather" in hlo or "all-to-all" in hlo, (
+        "seq-sharded forward compiled without any gather collective"
+    )
+
+
+def test_seq_sharded_attention_op_matches_xla():
+    """Direct op check: the shard_map context-parallel attention (per-shard
+    kernel; xla inner impl on CPU) equals plain attention, masked or not."""
+    from pixart_sigma_tpu.ops.attention import seq_sharded_attention
+
+    rng = np.random.RandomState(5)
+    B, N, M, H, Dh = 2, 64, 48, 4, 16
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    km = jnp.asarray(rng.rand(B, M) > 0.3).at[:, 0].set(True)
+    want = attention(q, k, v, impl="xla", fp32_softmax=True)
+    want_m = attention(q, k, v, key_mask=km, impl="xla", fp32_softmax=True)
+    with jax.set_mesh(_seq_mesh(8)):
+        got = jax.jit(
+            lambda q, k, v: seq_sharded_attention(q, k, v, fp32_softmax=True)
+        )(q, k, v)
+        got_m = jax.jit(
+            lambda q, k, v, km: seq_sharded_attention(
+                q, k, v, key_mask=km, fp32_softmax=True
+            )
+        )(q, k, v, km)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m), rtol=2e-5, atol=2e-5)
+
+
+def test_seq_train_step_matches_dp():
+    """dp x seq (4x2) training must produce the same update as plain DP:
+    sequence sharding is a layout choice, not a numerics change."""
+    from pixart_sigma_tpu.diffusion import IDDPM
+    from pixart_sigma_tpu.training import (
+        TrainState,
+        build_optimizer,
+        make_train_step,
+    )
+
+    cfg = _tiny_cfg()
+    model = PixArt(cfg)
+    B = 8
+    rng = np.random.RandomState(0)
+    batch = {
+        "latents": jnp.asarray(rng.randn(B, 8, 8, 4).astype(np.float32)),
+        "y": jnp.asarray(rng.randn(B, 8, 32).astype(np.float32)),
+        "y_mask": jnp.ones((B, 8), dtype=jnp.int32),
+    }
+    diffusion = IDDPM(timestep_respacing=[1000], learn_sigma=True,
+                      rescale_learned_sigmas=True)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "caption_drop": jax.random.PRNGKey(1)},
+        batch["latents"], jnp.zeros((B,)), batch["y"], batch["y_mask"], train=True,
+    )["params"]
+    tx = build_optimizer(name="adamw", learning_rate=1e-3)
+    state0 = TrainState.create(params=params, tx=tx, ema=False)
+
+    step_dp = make_train_step(
+        model, diffusion, mesh=build_mesh(MeshConfig()), donate=False
+    )
+    step_sp = make_train_step(
+        model, diffusion, mesh=build_mesh(MeshConfig(data=-1, seq=2)),
+        donate=False,
+    )
+    s_a, m_a = step_dp(state0, batch, jax.random.PRNGKey(7))
+    s_b, m_b = step_sp(state0, batch, jax.random.PRNGKey(7))
+    assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]), rel=1e-5)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_a.params, s_b.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+
+def test_pipeline_seq_parallel_matches_single():
+    """A full DPM-Solver trajectory with tokens sharded over 8 devices
+    must reproduce the single-device latents."""
+    from pixart_sigma_tpu.pipelines import PixArtPipeline
+
+    cfg = _tiny_cfg()
+    model = PixArt(cfg)
+    rng = np.random.RandomState(3)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, 8, 32)), jnp.ones((1, 8), jnp.int32),
+    )
+    B, L = 2, 8
+    y = jnp.asarray(rng.randn(B, L, 32).astype(np.float32))
+    null_y = jnp.asarray(rng.randn(B, L, 32).astype(np.float32))
+    mask = jnp.ones((B, L), jnp.int32)
+    kw = dict(
+        height=64, width=64, num_inference_steps=4, sampler="dpm-solver",
+        y=y, y_mask=mask, y_null=null_y, return_latents=True,
+    )
+    single = PixArtPipeline(model, params, base_resolution=256)(
+        ["a", "b"], **kw
+    )
+    sp = PixArtPipeline(
+        model, params, base_resolution=256,
+        mesh=build_mesh(MeshConfig(data=-1, seq=8)),
+    )(["a", "b"], **kw)
+    np.testing.assert_allclose(sp, single, rtol=2e-4, atol=2e-4)
+
+
+def test_dispatch_prefers_partitionable_impls_under_seq_mesh():
+    from pixart_sigma_tpu.ops.attention import _dispatch
+
+    q = jnp.zeros((1, 1024, 4, 72))
+    k_long = jnp.zeros((1, 1024, 4, 72))
+    k_caption = jnp.zeros((1, 300, 4, 72))
+    with jax.set_mesh(_seq_mesh(8)):
+        # long K/V: shard_map + per-shard kernel when tokens divide the axis
+        assert _dispatch(q, k_long, None) == "seqshard"
+        # non-divisible token count: GSPMD-partitionable chunked fallback
+        assert _dispatch(q[:, :1020], k_long, None) == "chunked"
+        assert _dispatch(q, k_caption, jnp.ones((1, 300), bool)) == "xla"
+    # without a seq mesh nothing changes (CPU -> xla)
+    assert _dispatch(q, k_long, None) == "xla"

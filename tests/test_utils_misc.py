@@ -76,8 +76,8 @@ def test_resampler_weights_after_warmup():
 
 
 def test_mesh_config_resolve():
-    assert MeshConfig(data=-1, fsdp=2).resolve(8) == (4, 2, 1)
-    assert MeshConfig(data=8).resolve(8) == (8, 1, 1)
+    assert MeshConfig(data=-1, fsdp=2).resolve(8) == (4, 2, 1, 1)
+    assert MeshConfig(data=8).resolve(8) == (8, 1, 1, 1)
     with pytest.raises(AssertionError):
         MeshConfig(data=3, fsdp=2).resolve(8)
 
