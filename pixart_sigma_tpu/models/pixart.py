@@ -203,6 +203,11 @@ class PixArt(nn.Module):
         #   and are paid once per trajectory instead of once per NFE.
     ):
         cfg = self.cfg
+        assert not (train and cfg.quant_int8), (
+            "quant_int8 is a serving-only path: the int8 round/clip in "
+            "QuantDense has near-zero gradients and would silently break "
+            "training. Train in bf16 and enable quant_int8 at inference."
+        )
         B, H, W, C = x.shape
         p = cfg.patch_size
         h, w = H // p, W // p

