@@ -125,6 +125,59 @@ def main() -> None:
         )
     )
 
+    # ---- turbo serving row: int8 W8A8 x delta block cache interval 2 -----
+    # the quality-validated production preset (configs/..._serving_turbo.py;
+    # toy rel-FID: int8 0.72 vs bf16 0.76, interval-2 cache neutral — see
+    # docs/performance.md §turbo). Same op point, composite speedup.
+    from pixart_sigma_tpu.pipelines import PixArtPipeline
+
+    turbo_cfg = PixArtConfig(
+        input_size=128,
+        model_max_length=300,
+        pe_interpolation=2.0,
+        dtype=jnp.bfloat16,
+        kv_compress_sampling="conv",
+        kv_compress_scale=2,
+        kv_compress_layers=tuple(range(14, 28)),
+        cache_span=(7, 21),
+        quant_int8=True,
+    )
+    turbo_model = PixArt(turbo_cfg)
+    turbo_params = jax.jit(
+        lambda: turbo_model.init(
+            jax.random.PRNGKey(0), x[:1].astype(jnp.bfloat16),
+            jnp.zeros((1,)), y_cond[:1], mask[:1],
+        )
+    )()
+    pipe = PixArtPipeline(turbo_model, turbo_params, base_resolution=1024)
+    turbo_fn = pipe._build_dpm_cached(BATCH, H, W, STEPS, 4.5, False, 2)
+    hw_c = jnp.ones((BATCH, 2), jnp.float32)
+    ar_c = jnp.ones((BATCH, 1), jnp.float32)
+
+    def run_turbo():
+        out = turbo_fn(turbo_params, x, y_cond, y_uncond, mask, hw_c, ar_c)
+        return jax.device_get(jnp.sum(jnp.abs(out.astype(jnp.float32))))
+
+    run_turbo()  # compile + barrier
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = run_turbo()
+    turbo_dt = (time.perf_counter() - t0) / iters
+    turbo = BATCH / turbo_dt
+    print(
+        json.dumps(
+            {
+                "metric": "1024px_images_per_sec_per_chip_turbo_int8_cacheint2",
+                "value": round(turbo, 4),
+                "unit": "img/s/chip",
+                "vs_baseline": round(turbo / baseline_a100, 4),
+                "vs_exact": round(turbo / img_per_sec, 3),
+                "checksum_finite": bool(np.isfinite(s)),
+                "note": note + "; quality-validated preset (docs/performance.md §turbo)",
+            }
+        )
+    )
+
     # ---- honest end-to-end row: + SDXL-VAE decode to 1024px RGB ----------
     from pixart_sigma_tpu.models.vae import AutoencoderKL, VAEConfig
 

@@ -58,6 +58,9 @@ def model_kwargs_from_config(config, **overrides) -> Dict[str, Any]:
             else jnp.float32
         ),
     )
+    if config.get("cache_span"):
+        # delta-block-caching group boundaries (serving turbo presets)
+        kwargs.update(cache_span=tuple(config["cache_span"]))
     if config.get("kv_compress", False):
         kwargs.update(
             kv_compress_sampling=kv.get("sampling"),

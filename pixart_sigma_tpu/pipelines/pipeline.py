@@ -371,7 +371,8 @@ class PixArtPipeline:
         return jax.jit(run)
 
     def _build_dpm_cached(self, B, h, w, steps, cfg_scale, micro, interval,
-                          adaptive_threshold=None, schedule=None):
+                          adaptive_threshold=None, schedule=None,
+                          t_start=None, t_end=None):
         """DPM-Solver++ with delta block caching (opt-in turbo mode).
 
         Requires model.cfg.cache_span=(k1, k2). The cached middle-layer
@@ -459,7 +460,10 @@ class PixArtPipeline:
                 lambda *_: None, self.ns, algorithm_type="dpmsolver++"
             )
             return solver.sample_scan(
-                x, steps=steps, t_start=ns.T, t_end=1.0 / ns.total_N, order=2,
+                x, steps=steps,
+                t_start=ns.T if t_start is None else t_start,
+                t_end=(1.0 / ns.total_N) if t_end is None else t_end,
+                order=2,
                 state_model_fn=state_model_fn, model_state=cache0,
                 refresh_mask=refresh,
             )

@@ -31,7 +31,9 @@ import numpy as np
 
 
 def bench_resolution(
-    res: int, batch: int, steps: int, decode: bool, chunk: int = 0
+    res: int, batch: int, steps: int, decode: bool, chunk: int = 0,
+    cache_interval: int = 0, kv_scale: int = 2, kv_layers=(14, 28),
+    want_latents: bool = False,
 ) -> dict:
     from pixart_sigma_tpu.diffusion.dpm_solver import (
         DPMSolver,
@@ -52,8 +54,9 @@ def bench_resolution(
         pe_interpolation=res / 512.0,
         dtype=jnp.bfloat16,
         kv_compress_sampling="conv",
-        kv_compress_scale=2,
-        kv_compress_layers=tuple(range(14, 28)),
+        kv_compress_scale=kv_scale,
+        kv_compress_layers=tuple(range(*kv_layers)),
+        cache_span=(7, 21) if cache_interval >= 2 else None,
     )
     model = PixArt(cfg)
     rng = np.random.RandomState(0)
@@ -99,7 +102,42 @@ def bench_resolution(
 
         return sample
 
-    if chunk and chunk < steps:
+    if cache_interval >= 2:
+        # Delta block caching at hi-res (round-4 VERDICT next #3): reuse
+        # the pipeline's cached-scan builder. Chunked dispatch restarts the
+        # cache empty each chunk, but with chunk % interval == 0 the
+        # refresh pattern (0, interval, 2*interval, ...) is IDENTICAL to
+        # the unchunked trajectory, so both timing and numerics match.
+        from pixart_sigma_tpu.pipelines import PixArtPipeline
+
+        if chunk and chunk < steps:
+            assert chunk % cache_interval == 0, (chunk, cache_interval)
+        pipe = PixArtPipeline(model, params, base_resolution=res)
+        hw_c = jnp.ones((batch, 2), jnp.float32)
+        ar_c = jnp.ones((batch, 1), jnp.float32)
+
+        def cached_chunks():
+            if chunk and chunk < steps:
+                bounds = np.linspace(ns.T, 1.0 / ns.total_N, steps + 1)
+                return [
+                    pipe._build_dpm_cached(
+                        batch, H, W, min(i + chunk, steps) - i, 4.5, False,
+                        cache_interval, t_start=float(bounds[i]),
+                        t_end=float(bounds[min(i + chunk, steps)]),
+                    )
+                    for i in range(0, steps, chunk)
+                ]
+            return [pipe._build_dpm_cached(
+                batch, H, W, steps, 4.5, False, cache_interval)]
+
+        fns = cached_chunks()
+
+        def run_traj(params, x0):
+            xi = x0
+            for fn in fns:
+                xi = fn(params, xi, y_cond, y_uncond, mask, hw_c, ar_c)
+            return jax.device_get(xi.astype(jnp.float32))
+    elif chunk and chunk < steps:
         # The tunneled worker kills single XLA executions past ~1-2 min
         # (the full 4K 20-NFE scan runs ~3 min and crashes it; 2-NFE probes
         # and the 2K 33 s trajectory are fine). Split the SAME time_uniform
@@ -120,20 +158,18 @@ def bench_resolution(
             xi = x0
             for fn in chunks:
                 xi = fn(params, xi)
-            return jax.device_get(jnp.sum(xi.astype(jnp.float32)))
+            return jax.device_get(xi.astype(jnp.float32))
     else:
         full = make_sampler(steps)
 
         def run_traj(params, x0):
-            return jax.device_get(
-                jnp.sum(full(params, x0).astype(jnp.float32))
-            )
+            return jax.device_get(full(params, x0).astype(jnp.float32))
 
     run_traj(params, x)  # compile + warm
     iters = 2
     t0 = time.perf_counter()
     for _ in range(iters):
-        run_traj(params, x)
+        latents = run_traj(params, x)
     sample_s = (time.perf_counter() - t0) / iters
 
     row = {
@@ -144,8 +180,14 @@ def bench_resolution(
         "sample_s": round(sample_s, 3),
         "img_per_sec_sampling": round(batch / sample_s, 4),
     }
+    if cache_interval >= 2:
+        row["cache_interval"] = cache_interval
+    if (kv_scale, tuple(kv_layers)) != (2, (14, 28)):
+        row["kv"] = f"scale{kv_scale}_layers{kv_layers[0]}:{kv_layers[1]}"
     if chunk and chunk < steps:
         row["chunked_dispatch"] = chunk
+    if want_latents:
+        row["_latents"] = np.asarray(latents)
 
     if decode:
         from pixart_sigma_tpu.models.vae import (
@@ -187,17 +229,51 @@ def main():
     p.add_argument("--chunk", type=int, default=0,
                    help="steps per dispatch (execution-time-limit workaround "
                         "for the 4K trajectory on the tunneled worker)")
+    p.add_argument("--cache-interval", type=int, default=0,
+                   help="delta block caching refresh interval (>=2; "
+                        "cache_span 7:21). With --drift also prints latent "
+                        "drift vs the exact trajectory")
+    p.add_argument("--kv-scale", type=int, default=2,
+                   help="kv-compress conv scale (production 2; 4 = sweep)")
+    p.add_argument("--kv-layers", default="14:28",
+                   help="kv-compress layer range a:b (production 14:28)")
+    p.add_argument("--drift", action="store_true",
+                   help="also run the production-exact trajectory and "
+                        "report relative-L2 + PSNR of the final latents "
+                        "(quality proxy; toy FID cannot run at 2K/4K)")
     args = p.parse_args()
 
     from pixart_sigma_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    kv_layers = tuple(int(v) for v in args.kv_layers.split(":"))
+    variant = (args.cache_interval >= 2 or args.kv_scale != 2
+               or kv_layers != (14, 28))
     # CFG doubles the model batch; 2*4 at 2K crashed the 16 GB worker
     BATCH = {1024: 12, 2048: 2, 4096: 1}
     for res in (int(r) for r in args.resolutions.split(",")):
         row = bench_resolution(
             res, BATCH.get(res, 1), args.steps, decode=not args.no_decode,
-            chunk=args.chunk)
+            chunk=args.chunk, cache_interval=args.cache_interval,
+            kv_scale=args.kv_scale, kv_layers=kv_layers,
+            want_latents=args.drift and variant)
+        if args.drift and variant:
+            base = bench_resolution(
+                res, BATCH.get(res, 1), args.steps, decode=False,
+                chunk=args.chunk, want_latents=True)
+            a = row.pop("_latents").astype(np.float64)
+            b = base["_latents"].astype(np.float64)
+            # same seed/x0; for cache variants also the same params. For kv
+            # variants only the kv conv kernels differ (random init), so
+            # drift is a rough architecture-distance proxy, not quality.
+            rel_l2 = float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+            mse = float(np.mean((a - b) ** 2))
+            peak = float(max(b.max() - b.min(), 1e-12))
+            row["drift_rel_l2"] = round(rel_l2, 4)
+            row["drift_psnr_db"] = round(
+                10 * np.log10(peak ** 2 / max(mse, 1e-20)), 2)
+            row["exact_img_per_sec"] = base["img_per_sec_sampling"]
+        row.pop("_latents", None)
         print(json.dumps(row), flush=True)
 
 

@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OPS = {
     "256": dict(image_size=256, batch=64, kv=False, steps=8),
+    "1024": dict(image_size=1024, batch=4, kv=False, steps=8),
     "1024kv": dict(image_size=1024, batch=4, kv=True, steps=8),
     "2k": dict(image_size=2048, batch=1, kv=True, steps=4),
 }
@@ -59,6 +60,11 @@ def build(op, policy, batch, args):
         dtype=jnp.bfloat16,
         grad_checkpointing=True,
         remat_policy=policy,
+        # MAE-style masked-token training (--mask-ratio; reference
+        # model/utils.py:192-307): blocks only see the kept token subset,
+        # cutting block FLOPs ~(1 - ratio). Incompatible with kv-compress.
+        mask_ratio=getattr(args, "mask_ratio", 0.0),
+        mask_type="random",
         **kv,
     )
     model = PixArt(cfg)
@@ -110,16 +116,24 @@ def bench_one(op, policy, batch, args):
         t = jax.random.randint(t_rng, (B,), 0, diffusion.num_timesteps)
         noise = jax.random.normal(n_rng, batch_d["latents"].shape)
 
+        masked = getattr(args, "mask_ratio", 0.0) > 0
+        m_rng = jax.random.fold_in(d_rng, 1)
+
         def loss_fn(p):
             def model_fn(x_t, t_in):
+                rngs = {"caption_drop": d_rng}
+                if masked:
+                    rngs["mask"] = m_rng
                 return model.apply(
                     {"params": p}, x_t, t_in, batch_d["y"],
                     batch_d["y_mask"], train=True,
-                    rngs={"caption_drop": d_rng},
+                    rngs=rngs,
                 )
 
             terms = diffusion.training_losses(
-                model_fn, batch_d["latents"], t, noise=noise
+                model_fn, batch_d["latents"], t, noise=noise,
+                mask_loss_coef=0.1 if masked else 0.0,
+                patch_size=cfg.patch_size,
             )
             return jnp.mean(terms["loss"])
 
@@ -149,7 +163,8 @@ def bench_one(op, policy, batch, args):
     loss = float(jax.device_get(loss))
     dt = (time.time() - t0) / K
     return dict(
-        op=args.op, policy=policy, batch=batch, ms_per_step=dt * 1000,
+        op=args.op, policy=policy, batch=batch,
+        mask_ratio=getattr(args, "mask_ratio", 0.0), ms_per_step=dt * 1000,
         img_per_s=batch / dt, loss=loss, compile_s=t_compile, scan_steps=K,
     )
 
@@ -162,6 +177,9 @@ def main():
     p.add_argument("--policy", default="nothing")
     p.add_argument("--batches", default=None, help="comma list of batch sizes")
     p.add_argument("--steps", type=int, default=None, help="scan length")
+    p.add_argument("--mask-ratio", type=float, default=0.0,
+                   help="MAE-style token-mask ratio (0 = dense; requires a "
+                        "non-kv op: 256 or 1024)")
     args = p.parse_args()
 
     from pixart_sigma_tpu.utils.compile_cache import enable_compilation_cache

@@ -51,6 +51,10 @@ class _Request:
         self.error = None
 
 
+class ServerBusyError(Exception):
+    """Queue depth limit reached — callers should return 429/backpressure."""
+
+
 class MicroBatcher:
     """Groups compatible requests into one pipeline call.
 
@@ -58,15 +62,34 @@ class MicroBatcher:
     cfg_scale, sampler) matches — those share an XLA program. The batch is
     padded to the next size in `batch_sizes` by repeating the last prompt,
     so the compile cache stays small and deterministic.
+
+    Admission control: at most `queue_depth` requests may be in flight
+    (enqueued or being generated); submit_async raises ServerBusyError past
+    that, which the HTTP layer maps to 429 + Retry-After. Without a cap a
+    saturating client builds an unbounded queue and p95 latency diverges
+    (docs/performance.md §serving envelope: 16 clients -> p95 59.9 s).
+
+    Fairness: the scheduler serves the ELIGIBLE group with the OLDEST
+    waiting request first (eligible = full batch or past max_wait), so a
+    rare signature behind a sustained hot stream is served as soon as it is
+    the oldest — bounded by one in-flight batch plus max_wait, never
+    starved.
     """
 
     def __init__(self, pipe, y_null_row=None, max_wait_ms: int = 25,
-                 batch_sizes=(1, 2, 4, 8), max_batch: int = 8):
+                 batch_sizes=(1, 2, 4, 8, 12), max_batch: int = 12,
+                 queue_depth: int = 64, gen_kwargs=None):
         self.pipe = pipe
         self.y_null_row = y_null_row
+        # server-wide pipeline kwargs (e.g. block_cache_interval for the
+        # turbo preset) — deliberately NOT part of the request signature
+        self.gen_kwargs = dict(gen_kwargs or {})
         self.max_wait = max_wait_ms / 1000.0
         self.batch_sizes = sorted(batch_sizes)
         self.max_batch = max_batch
+        self.queue_depth = queue_depth
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
         self.q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True)
@@ -77,10 +100,30 @@ class MicroBatcher:
 
         Multi-prompt API requests enqueue all prompts first so same-signature
         prompts from one request share a batch instead of running serially.
+        Raises ServerBusyError when the in-flight depth cap is reached.
         """
-        req = _Request(prompt, opts)
-        self.q.put(req)
-        return req
+        return self.submit_many([prompt], opts)[0]
+
+    def submit_many(self, prompts, opts):
+        """Atomically admit a list of prompts (all or none -> 429)."""
+        n = len(prompts)
+        with self._inflight_lock:
+            if self._inflight + n > self.queue_depth:
+                raise ServerBusyError(
+                    f"queue full ({self._inflight} in flight + {n} requested "
+                    f"> limit {self.queue_depth})"
+                )
+            self._inflight += n
+        reqs = [_Request(p, opts) for p in prompts]
+        for req in reqs:
+            self.q.put(req)
+        return reqs
+
+    def _finish(self, reqs):
+        with self._inflight_lock:
+            self._inflight -= len(reqs)
+        for r in reqs:
+            r.event.set()
 
     def wait(self, req, timeout=600.0):
         if not req.event.wait(timeout):
@@ -197,21 +240,27 @@ class MicroBatcher:
                     self.y_null_row[None],
                     (len(prompts),) + self.y_null_row.shape,
                 )
+            gen = dict(self.gen_kwargs)
+            if o["sampler"] != "dpm-solver":
+                # block caching is a dpm-solver-only program; other
+                # samplers run exact rather than erroring under --turbo
+                gen.pop("block_cache_interval", None)
             out = self.pipe(
                 prompts,
                 height=o["height"], width=o["width"],
                 num_inference_steps=o["steps"],
                 guidance_scale=o["cfg_scale"],
                 sampler=o["sampler"], seed=o["seed"],
+                **gen,
                 **kwargs,
             )
             for i, r in enumerate(batch):
                 r.result = (out[i], len(batch))
-                r.event.set()
+            self._finish(batch)
         except Exception as e:  # noqa: BLE001 - surfaced per request
             for r in batch:
                 r.error = e
-                r.event.set()
+            self._finish(batch)
 
 
 def _encode_image(arr, decoded: bool) -> str:
@@ -274,7 +323,10 @@ def make_handler(batcher, pipe, info):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, dict(status="ok", **info))
+                self._json(200, dict(
+                    status="ok", inflight=batcher._inflight,
+                    queue_depth=batcher.queue_depth, **info,
+                ))
             elif self.path in ("/", "/index.html"):
                 body = (_INDEX_HTML % {
                     "example": "a small cactus with a happy face"
@@ -311,8 +363,18 @@ def make_handler(batcher, pipe, info):
                 return
             try:
                 # enqueue all prompts first so they can share a micro-batch
-                reqs = [batcher.submit_async(p, opts) for p in prompts]
+                # (atomic admission: all rows or 429)
+                reqs = batcher.submit_many(prompts, opts)
                 results = [batcher.wait(r) for r in reqs]
+            except ServerBusyError as e:
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(429)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "5")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": str(e)})
                 return
@@ -337,8 +399,12 @@ def build_pipeline(args):
 
     enable_compilation_cache()
     config = read_config(args.config)
-    model = build_model_from_config(
-        config, **({"quant_int8": True} if getattr(args, "int8", False) else {}))
+    overrides = {}
+    if getattr(args, "int8", False) or getattr(args, "turbo", False):
+        overrides["quant_int8"] = True
+    if getattr(args, "turbo", False) and not config.get("cache_span"):
+        overrides["cache_span"] = (7, 21)
+    model = build_model_from_config(config, **overrides)
     params = {"params": ckpt_io.load_checkpoint(
         args.model_path, model.cfg, load_ema=args.load_ema)}
 
@@ -382,20 +448,42 @@ def main():
     p.add_argument("--scale-factor", type=float, default=None)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
-    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-batch", type=int, default=12,
+                   help="largest micro-batch (offline bench: 12 is the "
+                        "1024px throughput optimum — bench.py)")
+    p.add_argument("--queue-depth", type=int, default=64,
+                   help="max in-flight requests before /generate returns "
+                        "429 (admission control / backpressure)")
     p.add_argument("--int8", action="store_true",
                    help="dynamic-int8 (W8A8) projection/MLP matmuls — "
                         "quantized serving (2x MXU rate on v5e)")
     p.add_argument("--max-wait-ms", type=int, default=25)
+    p.add_argument("--turbo", action="store_true",
+                   help="quality-validated turbo serving stack: int8 W8A8 "
+                        "+ delta block caching interval 2 (+49% measured "
+                        "at the 1024px op point; configs/..._serving_turbo)")
+    p.add_argument("--block-cache-interval", type=int, default=None,
+                   help="delta block caching refresh interval (>=2; "
+                        "requires cache_span in the config or --turbo)")
     p.add_argument("--warmup", action="store_true",
                    help="compile the default program before serving")
     args = p.parse_args()
 
     pipe, y_null_row, res = build_pipeline(args)
-    info = {"resolution": res, "model": args.model_path}
+    from pixart_sigma_tpu.config import read_config
+
+    cfg_interval = read_config(args.config).get("block_cache_interval", 0)
+    interval = (
+        args.block_cache_interval if args.block_cache_interval is not None
+        else (2 if args.turbo else cfg_interval)
+    )
+    gen_kwargs = {"block_cache_interval": interval} if interval >= 2 else {}
+    info = {"resolution": res, "model": args.model_path,
+            "turbo": bool(gen_kwargs)}
     batcher = MicroBatcher(
         pipe, y_null_row=y_null_row,
         max_wait_ms=args.max_wait_ms, max_batch=args.max_batch,
+        queue_depth=args.queue_depth, gen_kwargs=gen_kwargs,
     )
     if args.warmup:
         batcher.submit("warmup", dict(
