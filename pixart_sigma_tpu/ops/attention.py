@@ -173,6 +173,93 @@ def seq_sharded_attention(
     return f(q, k, v, key_mask)
 
 
+def ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    key_mask: Optional[jnp.ndarray] = None,
+    axis: str = "seq",
+) -> jnp.ndarray:
+    """Ring attention: context parallelism with K/V SHARDED over the seq
+    axis (cf. Ring Attention / llama-3-style context parallelism; PAPERS.md).
+
+    seq_sharded_attention replicates K/V per device — one gather, fine to
+    ~65k tokens where K/V is ~300 MB transient. Past that (8K+ grids, video)
+    the replicated K/V becomes the memory term. Here every operand stays
+    token-sharded: each device holds q/k/v shards of N/s tokens, runs
+    online-softmax accumulation against the K/V shard it currently holds,
+    and `ppermute`s the K/V block around the ring s-1 times — peak per-device
+    attention memory O(N/s * d + (N/s)^2) with O(N*C) total comm riding ICI
+    neighbor links, and compute/comm overlap is XLA's to schedule.
+
+    Numerics match chunked_attention (f32 running max/denominator/acc).
+    Differentiable by construction (scan + ppermute autodiff; the backward
+    re-permutes the same ring). Requires N % s == 0 and B divisible by the
+    data axes. Opt-in via impl='ring' — at <=65k tokens seqshard's per-shard
+    Pallas kernel is faster (MXU-bound vs this XLA path), so ring is the
+    capacity lever, not the speed lever.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from pixart_sigma_tpu.parallel.mesh import batch_shard_axes
+
+    am = jax.sharding.get_abstract_mesh()
+    assert axis in am.axis_names, (axis, am)
+    s = int(am.shape[axis])
+    B, N, H, Dh = q.shape
+    M = k.shape[1]
+    assert N % s == 0 and M % s == 0, (N, M, s)
+    scale = Dh**-0.5
+    dtype = q.dtype
+    if key_mask is None:
+        key_mask = jnp.ones((B, M), dtype=bool)
+    batch = batch_shard_axes(axis) or None
+    tok_spec = P(batch, axis, None, None)
+    mask_spec = P(batch, axis)
+
+    def body(q, k, v, km):
+        # operands are the per-device shards: q [b, n, H, Dh], k/v [b, m, ...]
+        n = q.shape[1]
+        m0 = jnp.full((q.shape[0], H, n), _NEG, dtype=jnp.float32)
+        l0 = jnp.zeros((q.shape[0], H, n), dtype=jnp.float32)
+        a0 = jnp.zeros((q.shape[0], H, n, Dh), dtype=jnp.float32)
+        perm = [(i, (i + 1) % s) for i in range(s)]  # pass K/V to the right
+
+        def step(carry, _):
+            m, l, acc, kc, vc, mc = carry
+            logits = jnp.einsum(
+                "bnhd,bmhd->bhnm", q, kc, preferred_element_type=jnp.float32
+            ) * scale
+            logits = jnp.where(mc[:, None, None, :], logits, _NEG)
+            m_new = jnp.maximum(m, logits.max(axis=-1))
+            corr = jnp.exp(m - m_new)
+            p = jnp.exp(logits - m_new[..., None])
+            l_new = l * corr + p.sum(axis=-1)
+            pv = jnp.einsum(
+                "bhnm,bmhd->bhnd", p.astype(dtype), vc,
+                preferred_element_type=jnp.float32,
+            )
+            acc_new = acc * corr[..., None] + pv
+            kc = jax.lax.ppermute(kc, axis, perm)
+            vc = jax.lax.ppermute(vc, axis, perm)
+            mc = jax.lax.ppermute(mc, axis, perm)
+            return (m_new, l_new, acc_new, kc, vc, mc), None
+
+        (m, l, acc, _, _, _), _ = jax.lax.scan(
+            step, (m0, l0, a0, k, v, km), None, length=s
+        )
+        out = acc / jnp.maximum(l, 1e-30)[..., None]
+        return jnp.einsum("bhnd->bnhd", out).astype(dtype)
+
+    f = jax.shard_map(
+        body, mesh=am,
+        in_specs=(tok_spec, tok_spec, tok_spec, mask_spec),
+        out_specs=tok_spec, check_vma=False,
+    )
+    return f(q, k, v, key_mask)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -218,6 +305,9 @@ def attention(
         return seq_sharded_attention(
             q, k, v, key_mask=key_mask, fp32_softmax=fp32_softmax
         )
+    if choice == "ring":
+        assert bias is None, "ring attention: dense bias unsupported"
+        return ring_attention(q, k, v, key_mask=key_mask)
 
     if choice == "allheads":
         from pixart_sigma_tpu.ops.flash_attention import crossattn_allheads
@@ -246,7 +336,7 @@ def attention(
         raise ValueError(
             f"unknown attention impl {choice!r}; expected one of "
             "'auto', 'xla', 'flash', 'chunked', 'onepass', 'allheads', "
-            "'headsmajor'"
+            "'headsmajor', 'seqshard', 'ring'"
         )
 
     if key_mask is not None:

@@ -33,7 +33,7 @@ import numpy as np
 def bench_resolution(
     res: int, batch: int, steps: int, decode: bool, chunk: int = 0,
     cache_interval: int = 0, kv_scale: int = 2, kv_layers=(14, 28),
-    want_latents: bool = False,
+    want_latents: bool = False, cache_span_cfg=None, perturb: bool = False,
 ) -> dict:
     from pixart_sigma_tpu.diffusion.dpm_solver import (
         DPMSolver,
@@ -56,7 +56,7 @@ def bench_resolution(
         kv_compress_sampling="conv",
         kv_compress_scale=kv_scale,
         kv_compress_layers=tuple(range(*kv_layers)),
-        cache_span=(7, 21) if cache_interval >= 2 else None,
+        cache_span=(7, 21) if cache_interval >= 2 else cache_span_cfg,
     )
     model = PixArt(cfg)
     rng = np.random.RandomState(0)
@@ -71,6 +71,22 @@ def bench_resolution(
             jnp.zeros((1,)), y_cond[:1], mask[:1],
         )
     )()
+    if perturb:
+        # Drift runs need a NON-degenerate model: PixArt zero-inits the
+        # final layer and adaLN gates (DiT convention), so a fresh init's
+        # eps output is input-independent and every trajectory variant is
+        # bit-identical (drift would read 0 regardless of caching). Give
+        # every all-zero leaf small noise, deterministically per leaf.
+        def _fill(path, leaf):
+            if leaf.dtype.kind != "f" or bool(jnp.any(leaf != 0)):
+                return leaf
+            import zlib
+
+            # crc32, not hash(): str hashes are per-process randomized
+            seed = zlib.crc32(jax.tree_util.keystr(path).encode()) % (2**31)
+            return 0.02 * jax.random.normal(
+                jax.random.PRNGKey(seed), leaf.shape, leaf.dtype)
+        params = jax.tree_util.tree_map_with_path(_fill, params)
 
     betas = named_beta_schedule("linear", 1000)
     ns = NoiseScheduleVP("discrete", betas=betas)
@@ -256,11 +272,19 @@ def main():
             res, BATCH.get(res, 1), args.steps, decode=not args.no_decode,
             chunk=args.chunk, cache_interval=args.cache_interval,
             kv_scale=args.kv_scale, kv_layers=kv_layers,
-            want_latents=args.drift and variant)
+            want_latents=args.drift and variant, perturb=args.drift)
         if args.drift and variant:
+            # cache-only variants: baseline shares the variant's scan-group
+            # structure (cache_span set, caching off) so the same-seed init
+            # gives the IDENTICAL function and drift isolates the caching.
+            # kv variants: baseline is the production config (the drift is
+            # then an architecture-distance proxy, noted in the row).
+            cache_only = (args.cache_interval >= 2 and args.kv_scale == 2
+                          and kv_layers == (14, 28))
             base = bench_resolution(
                 res, BATCH.get(res, 1), args.steps, decode=False,
-                chunk=args.chunk, want_latents=True)
+                chunk=args.chunk, want_latents=True, perturb=True,
+                cache_span_cfg=(7, 21) if cache_only else None)
             a = row.pop("_latents").astype(np.float64)
             b = base["_latents"].astype(np.float64)
             # same seed/x0; for cache variants also the same params. For kv

@@ -502,3 +502,69 @@ def test_dispatch_prefers_partitionable_impls_under_seq_mesh():
         assert _dispatch(q, k_caption, jnp.ones((1, 300), bool)) == "xla"
     # without a seq mesh nothing changes (CPU -> xla)
     assert _dispatch(q, k_long, None) == "xla"
+
+
+def test_ring_attention_matches_xla():
+    """Ring attention (K/V sharded + ppermute ring) == plain attention,
+    masked and unmasked, on a dp x seq mesh."""
+    from pixart_sigma_tpu.ops.attention import ring_attention
+
+    rng = np.random.RandomState(31)
+    B, N, H, Dh = 4, 64, 2, 16
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    km = jnp.asarray(rng.rand(B, N) > 0.3).at[:, 0].set(True)
+    mesh = build_mesh(MeshConfig(data=-1, seq=4))  # dp 2 x seq 4
+    for mask in (None, km):
+        want = attention(q, k, v, key_mask=mask, impl="xla", fp32_softmax=True)
+        with jax.set_mesh(mesh):
+            got = jax.jit(lambda q, k, v: ring_attention(
+                q, k, v, key_mask=mask))(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_ring_attention_gradients_match_xla():
+    from pixart_sigma_tpu.ops.attention import ring_attention
+
+    rng = np.random.RandomState(32)
+    B, N, H, Dh = 2, 32, 2, 8
+    q = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+    cot = jnp.asarray(rng.randn(B, N, H, Dh).astype(np.float32))
+
+    def grads(fn):
+        return jax.jit(jax.grad(
+            lambda q, k, v: (fn(q, k, v) * cot).sum(), argnums=(0, 1, 2)
+        ))(q, k, v)
+
+    want = grads(lambda q, k, v: attention(
+        q, k, v, impl="xla", fp32_softmax=True))
+    with jax.set_mesh(_seq_mesh(8)):
+        got = grads(lambda q, k, v: ring_attention(q, k, v))
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_ring_attention_memory_stays_sharded():
+    """The compiled ring HLO must keep every attention operand at 1/seq of
+    the tokens (no K/V all-gather — that is seqshard's trade, not ring's)."""
+    from pixart_sigma_tpu.ops.attention import ring_attention
+
+    B, N, H, Dh = 2, 1024, 2, 16
+    q = jnp.zeros((B, N, H, Dh), jnp.float32)
+    mesh = _seq_mesh(8)
+    with jax.set_mesh(mesh):
+        hlo = (
+            jax.jit(lambda q, k, v: ring_attention(q, k, v))
+            .lower(q, q, q).compile().as_text()
+        )
+    assert "collective-permute" in hlo, "expected a ppermute ring"
+    assert "f32[2,1024" not in hlo, (
+        "found a full-token operand: K/V was gathered instead of ringed"
+    )
