@@ -375,6 +375,16 @@ def _dispatch(q: jnp.ndarray, k: jnp.ndarray, key_mask, local: bool = False) -> 
             except Exception:
                 batch_div = 1
             if q.shape[1] % seq == 0 and q.shape[0] % batch_div == 0:
+                # seqshard replicates K/V per device; past ~1 GiB of
+                # replicated K/V (8K+ grids / video contexts) switch to the
+                # ring impl, which keeps K/V token-sharded (capacity over
+                # the per-shard Pallas kernel's speed). bf16 K+V bytes:
+                kv_bytes = 2 * 2 * (
+                    (q.shape[0] // batch_div) * k.shape[1]
+                    * k.shape[2] * k.shape[3]
+                )
+                if kv_bytes > (1 << 30) and k.shape[1] % seq == 0:
+                    return "ring"
                 return "seqshard"
             return "chunked"
     try:

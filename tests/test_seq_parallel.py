@@ -568,3 +568,21 @@ def test_ring_attention_memory_stays_sharded():
     assert "f32[2,1024" not in hlo, (
         "found a full-token operand: K/V was gathered instead of ringed"
     )
+
+
+def test_dispatch_rings_when_replicated_kv_too_big():
+    """Past ~1 GiB of per-device replicated K/V (8K+ grids), auto dispatch
+    switches from seqshard to the K/V-sharded ring impl."""
+    from pixart_sigma_tpu.ops.attention import _dispatch
+
+    class _Shaped:  # shape-only stand-in (a real 262k-token array is 10 GB)
+        def __init__(self, shape):
+            self.shape = shape
+
+    with jax.set_mesh(_seq_mesh(8)):
+        # 65k tokens (4K image): K+V bf16 = 2*2*1*65536*16*72 = 302 MB -> seqshard
+        q = _Shaped((1, 65536, 16, 72))
+        assert _dispatch(q, q, None) == "seqshard"
+        # 262k tokens (8K image): 1.2 GB replicated K/V -> ring
+        q8k = _Shaped((1, 262144, 16, 72))
+        assert _dispatch(q8k, q8k, None) == "ring"
