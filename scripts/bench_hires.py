@@ -34,6 +34,7 @@ def bench_resolution(
     res: int, batch: int, steps: int, decode: bool, chunk: int = 0,
     cache_interval: int = 0, kv_scale: int = 2, kv_layers=(14, 28),
     want_latents: bool = False, cache_span_cfg=None, perturb: bool = False,
+    int8: bool = False,
 ) -> dict:
     from pixart_sigma_tpu.diffusion.dpm_solver import (
         DPMSolver,
@@ -57,6 +58,7 @@ def bench_resolution(
         kv_compress_scale=kv_scale,
         kv_compress_layers=tuple(range(*kv_layers)),
         cache_span=(7, 21) if cache_interval >= 2 else cache_span_cfg,
+        quant_int8=int8,
     )
     model = PixArt(cfg)
     rng = np.random.RandomState(0)
@@ -198,6 +200,8 @@ def bench_resolution(
     }
     if cache_interval >= 2:
         row["cache_interval"] = cache_interval
+    if int8:
+        row["int8"] = True
     if (kv_scale, tuple(kv_layers)) != (2, (14, 28)):
         row["kv"] = f"scale{kv_scale}_layers{kv_layers[0]}:{kv_layers[1]}"
     if chunk and chunk < steps:
@@ -253,6 +257,8 @@ def main():
                    help="kv-compress conv scale (production 2; 4 = sweep)")
     p.add_argument("--kv-layers", default="14:28",
                    help="kv-compress layer range a:b (production 14:28)")
+    p.add_argument("--int8", action="store_true",
+                   help="dynamic-int8 (W8A8) projection/MLP matmuls")
     p.add_argument("--drift", action="store_true",
                    help="also run the production-exact trajectory and "
                         "report relative-L2 + PSNR of the final latents "
@@ -271,7 +277,7 @@ def main():
         row = bench_resolution(
             res, BATCH.get(res, 1), args.steps, decode=not args.no_decode,
             chunk=args.chunk, cache_interval=args.cache_interval,
-            kv_scale=args.kv_scale, kv_layers=kv_layers,
+            kv_scale=args.kv_scale, kv_layers=kv_layers, int8=args.int8,
             want_latents=args.drift and variant, perturb=args.drift)
         if args.drift and variant:
             # cache-only variants: baseline shares the variant's scan-group
