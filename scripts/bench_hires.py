@@ -270,7 +270,7 @@ def main():
     enable_compilation_cache()
     kv_layers = tuple(int(v) for v in args.kv_layers.split(":"))
     variant = (args.cache_interval >= 2 or args.kv_scale != 2
-               or kv_layers != (14, 28))
+               or kv_layers != (14, 28) or args.int8)
     # CFG doubles the model batch; 2*4 at 2K crashed the 16 GB worker
     BATCH = {1024: 12, 2048: 2, 4096: 1}
     for res in (int(r) for r in args.resolutions.split(",")):
@@ -285,12 +285,17 @@ def main():
             # gives the IDENTICAL function and drift isolates the caching.
             # kv variants: baseline is the production config (the drift is
             # then an architecture-distance proxy, noted in the row).
-            cache_only = (args.cache_interval >= 2 and args.kv_scale == 2
-                          and kv_layers == (14, 28))
+            # int8 keeps the param tree AND the architecture: its drift
+            # vs the bf16 exact run is a true quantization-error measure.
+            # Baseline matches the variant's scan-group structure only when
+            # the variant has one (cache_span changes the param tree).
+            same_arch = (args.kv_scale == 2 and kv_layers == (14, 28))
             base = bench_resolution(
                 res, BATCH.get(res, 1), args.steps, decode=False,
                 chunk=args.chunk, want_latents=True, perturb=True,
-                cache_span_cfg=(7, 21) if cache_only else None)
+                cache_span_cfg=(
+                    (7, 21) if (same_arch and args.cache_interval >= 2)
+                    else None))
             a = row.pop("_latents").astype(np.float64)
             b = base["_latents"].astype(np.float64)
             # same seed/x0; for cache variants also the same params. For kv
