@@ -64,6 +64,10 @@ def parse_args():
                         "CFG null is the model's learned null caption")
     p.add_argument("--scale-factor", type=float, default=None,
                    help="latent scale override (toy VAE; default per version)")
+    p.add_argument("--turbo", action="store_true",
+                   help="the quality-validated serving stack: --int8 + "
+                        "--block-cache-interval 2 (+49%% at 1024px; "
+                        "docs/performance.md §turbo)")
     p.add_argument("--int8", action="store_true",
                    help="dynamic-int8 (W8A8) projection/MLP matmuls — "
                         "quantized serving mode (2x MXU rate on v5e)")
@@ -95,6 +99,11 @@ def main():
     from pixart_sigma_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if args.turbo:
+        args.int8 = True
+        if args.block_cache_interval < 2:
+            args.block_cache_interval = 2
 
     if args.config:
         config = read_config(args.config)
