@@ -51,6 +51,11 @@ def _xla_attention(
 
 _NEG = -1e30  # finite -inf stand-in: exp(_NEG - x) underflows to 0 in f32
 
+# seqshard replicates K/V per device; past this many bytes of replicated
+# bf16 K+V, auto dispatch switches to the K/V-sharded ring impl (8K+ grids).
+# Module-level so tests can lower it to exercise the ring path in-model.
+RING_KV_BYTES = 1 << 30
+
 
 def chunked_attention(
     q: jnp.ndarray,
@@ -383,7 +388,7 @@ def _dispatch(q: jnp.ndarray, k: jnp.ndarray, key_mask, local: bool = False) -> 
                     (q.shape[0] // batch_div) * k.shape[1]
                     * k.shape[2] * k.shape[3]
                 )
-                if kv_bytes > (1 << 30) and k.shape[1] % seq == 0:
+                if kv_bytes > RING_KV_BYTES and k.shape[1] % seq == 0:
                     return "ring"
                 return "seqshard"
             return "chunked"

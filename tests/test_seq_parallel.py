@@ -586,3 +586,23 @@ def test_dispatch_rings_when_replicated_kv_too_big():
         # 262k tokens (8K image): 1.2 GB replicated K/V -> ring
         q8k = _Shaped((1, 262144, 16, 72))
         assert _dispatch(q8k, q8k, None) == "ring"
+
+
+def test_ring_train_step_matches_dp(monkeypatch):
+    """Full-model proof for ring: with the ring gate lowered so 1024-token
+    self-attention dispatches 'ring' (caption cross-attn stays xla at
+    M=8 <= 512), a dp2 x seq4 train step — forward AND backward through the
+    ppermute ring inside the scanned blocks — equals plain DP."""
+    import importlib
+
+    from pixart_sigma_tpu.ops.attention import _dispatch
+
+    attn_mod = importlib.import_module("pixart_sigma_tpu.ops.attention")
+    monkeypatch.setattr(attn_mod, "RING_KV_BYTES", 1024)
+    mesh = build_mesh(MeshConfig(data=-1, seq=4))
+    with jax.set_mesh(mesh):
+        choice = _dispatch(
+            jnp.zeros((8, 1024, 2, 16)), jnp.zeros((8, 1024, 2, 16)), None
+        )
+    assert choice == "ring", choice
+    _assert_train_pair_close(*_long_token_train_pair(64, 64, seq=4))
