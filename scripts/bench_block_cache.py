@@ -27,7 +27,7 @@ def main() -> None:
     from pixart_sigma_tpu.models.pixart import PixArt, PixArtConfig
     from pixart_sigma_tpu.pipelines import PixArtPipeline
 
-    BATCH = 12
+    BATCH = int(os.environ.get("BENCH_BATCH", "12"))
     STEPS = 20
     H = W = 128
 
