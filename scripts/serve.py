@@ -430,9 +430,17 @@ def build_pipeline(args):
         vae, vae_params = load_flax_vae(args.vae_flax)
     res = config.get("image_size", 1024)
     scale = args.scale_factor or config.get("scale_factor", 0.13025)
+    mesh = None
+    if getattr(args, "seq_parallel", 0) and args.seq_parallel > 1:
+        # latency-optimized serving: one trajectory's token dim sharded
+        # over N chips (sequence/context parallelism) — same mechanism as
+        # scripts/inference.py --seq-parallel
+        from pixart_sigma_tpu.parallel.mesh import MeshConfig, build_mesh
+
+        mesh = build_mesh(MeshConfig(data=-1, seq=args.seq_parallel))
     pipe = PixArtPipeline(
         model, params, t5=t5, vae=vae, vae_params=vae_params,
-        scale_factor=scale, base_resolution=res,
+        scale_factor=scale, base_resolution=res, mesh=mesh,
     )
     return pipe, y_null_row, res
 
@@ -458,6 +466,9 @@ def main():
                    help="dynamic-int8 (W8A8) projection/MLP matmuls — "
                         "quantized serving (2x MXU rate on v5e)")
     p.add_argument("--max-wait-ms", type=int, default=25)
+    p.add_argument("--seq-parallel", type=int, default=0, metavar="N",
+                   help="shard the token dim over N devices per trajectory "
+                        "(latency-optimized multi-chip serving)")
     p.add_argument("--turbo", action="store_true",
                    help="quality-validated turbo serving stack: int8 W8A8 "
                         "+ delta block caching interval 2 (+49% measured "

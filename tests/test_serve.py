@@ -472,3 +472,55 @@ def test_serve_turbo_block_cache(tmp_path):
             proc.wait(timeout=10)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_serve_seq_parallel_mesh(tmp_path):
+    """--seq-parallel N: the server runs each trajectory with its token dim
+    sharded over an N-device mesh (latency-optimized multi-chip serving)."""
+    from tests.test_validate_released import _make_tiny_pth
+
+    pth = _make_tiny_pth(tmp_path)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(
+        os.environ, JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    cfg_py = tmp_path / "serve_cfg.py"
+    cfg_py.write_text(
+        "_base_ = ["
+        f"{os.path.join(REPO, 'configs/pixart_sigma_config/PixArt_sigma_xl2_img256_internal.py')!r}"
+        "]\n"
+        "model_overrides = dict(depth=2, hidden_size=48, num_heads=4, "
+        "caption_channels=64, model_max_length=16)\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "scripts", "serve.py"),
+         "--config", str(cfg_py), "--model-path", pth,
+         "--pseudo-t5", "64", "--port", str(port), "--seq-parallel", "8"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        cwd=REPO,
+    )
+    try:
+        base = f"http://127.0.0.1:{port}"
+        for _ in range(120):
+            try:
+                urllib.request.urlopen(base + "/healthz", timeout=5)
+                break
+            except Exception:
+                assert proc.poll() is None, proc.communicate()[0]
+                time.sleep(1)
+        out = [None]
+        _post(base + "/generate",
+              {"prompt": "sharded", "steps": 2, "seed": 3,
+               "height": 256, "width": 256}, out, 0)
+        arr = np.load(io.BytesIO(base64.b64decode(out[0]["images"][0])))
+        assert arr.shape == (32, 32, 4) and np.isfinite(arr).all()
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
