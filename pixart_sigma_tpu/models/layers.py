@@ -310,18 +310,37 @@ class SelfAttentionKVCompress(nn.Module):
             k = self._downsample(k, H, W, conv_params)
             v = self._downsample(v, H, W, conv_params)
         M = k.shape[1]
-        if seq_axis_size() > 1:
-            # context-parallel self-attention: queries stay token-sharded,
-            # K/V are all-gathered once (cheap O(M*C) vs the O(N*M*C/seq)
-            # attention compute); the chunked impl then splits over queries
-            q = seq_constraint(q)
-            k = jax.lax.with_sharding_constraint(k, jax.sharding.PartitionSpec())
-            v = jax.lax.with_sharding_constraint(v, jax.sharding.PartitionSpec())
         dh = C // self.num_heads
+        q4 = q.reshape(B, N, self.num_heads, dh)
+        k4 = k.reshape(B, M, self.num_heads, dh)
+        v4 = v.reshape(B, M, self.num_heads, dh)
+        if seq_axis_size() > 1:
+            # context-parallel self-attention: queries stay token-sharded.
+            # K/V layout depends on the impl the dispatcher will pick:
+            # seqshard/chunked want K/V gathered over the seq axis once
+            # (cheap O(M*C) vs the O(N*M*C/seq) attention compute) but
+            # KEEP the batch dim sharded over data/fsdp (a full P() here
+            # would redundantly gather the batch); ring wants K/V to stay
+            # token-sharded — gathering would materialise exactly the
+            # >RING_KV_BYTES replicated buffer ring exists to avoid.
+            from jax.sharding import PartitionSpec as P
+
+            from pixart_sigma_tpu.ops.attention import _dispatch
+            from pixart_sigma_tpu.parallel.mesh import batch_shard_axes
+
+            q4 = seq_constraint(q4)
+            choice = (
+                _dispatch(q4, k4, None)
+                if self.attn_impl in ("auto", "auto_local")
+                else self.attn_impl
+            )
+            batch_axes = batch_shard_axes() or None
+            tok = "seq" if choice == "ring" else None
+            kv_spec = P(batch_axes, tok, None, None)
+            k4 = jax.lax.with_sharding_constraint(k4, kv_spec)
+            v4 = jax.lax.with_sharding_constraint(v4, kv_spec)
         out = attention(
-            q.reshape(B, N, self.num_heads, dh),
-            k.reshape(B, M, self.num_heads, dh),
-            v.reshape(B, M, self.num_heads, dh),
+            q4, k4, v4,
             fp32_softmax=self.fp32_attention,
             impl=self.attn_impl,
         ).reshape(B, N, C)

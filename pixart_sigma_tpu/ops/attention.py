@@ -217,13 +217,12 @@ def ring_attention(
     assert N % s == 0 and M % s == 0, (N, M, s)
     scale = Dh**-0.5
     dtype = q.dtype
-    if key_mask is None:
-        key_mask = jnp.ones((B, M), dtype=bool)
+    masked = key_mask is not None
     batch = batch_shard_axes(axis) or None
     tok_spec = P(batch, axis, None, None)
     mask_spec = P(batch, axis)
 
-    def body(q, k, v, km):
+    def body(q, k, v, km=None):
         # operands are the per-device shards: q [b, n, H, Dh], k/v [b, m, ...]
         n = q.shape[1]
         m0 = jnp.full((q.shape[0], H, n), _NEG, dtype=jnp.float32)
@@ -232,11 +231,17 @@ def ring_attention(
         perm = [(i, (i + 1) % s) for i in range(s)]  # pass K/V to the right
 
         def step(carry, _):
-            m, l, acc, kc, vc, mc = carry
+            # unmasked fast path (the auto-dispatched huge-grid case):
+            # no logits select and one fewer ppermute per ring step
+            if masked:
+                m, l, acc, kc, vc, mc = carry
+            else:
+                m, l, acc, kc, vc = carry
             logits = jnp.einsum(
                 "bnhd,bmhd->bhnm", q, kc, preferred_element_type=jnp.float32
             ) * scale
-            logits = jnp.where(mc[:, None, None, :], logits, _NEG)
+            if masked:
+                logits = jnp.where(mc[:, None, None, :], logits, _NEG)
             m_new = jnp.maximum(m, logits.max(axis=-1))
             corr = jnp.exp(m - m_new)
             p = jnp.exp(logits - m_new[..., None])
@@ -248,21 +253,30 @@ def ring_attention(
             acc_new = acc * corr[..., None] + pv
             kc = jax.lax.ppermute(kc, axis, perm)
             vc = jax.lax.ppermute(vc, axis, perm)
-            mc = jax.lax.ppermute(mc, axis, perm)
-            return (m_new, l_new, acc_new, kc, vc, mc), None
+            if masked:
+                mc = jax.lax.ppermute(mc, axis, perm)
+                return (m_new, l_new, acc_new, kc, vc, mc), None
+            return (m_new, l_new, acc_new, kc, vc), None
 
-        (m, l, acc, _, _, _), _ = jax.lax.scan(
-            step, (m0, l0, a0, k, v, km), None, length=s
-        )
+        init = (m0, l0, a0, k, v) + ((km,) if masked else ())
+        carry, _ = jax.lax.scan(step, init, None, length=s)
+        m, l, acc = carry[0], carry[1], carry[2]
         out = acc / jnp.maximum(l, 1e-30)[..., None]
         return jnp.einsum("bhnd->bnhd", out).astype(dtype)
 
+    if masked:
+        f = jax.shard_map(
+            body, mesh=am,
+            in_specs=(tok_spec, tok_spec, tok_spec, mask_spec),
+            out_specs=tok_spec, check_vma=False,
+        )
+        return f(q, k, v, key_mask)
     f = jax.shard_map(
         body, mesh=am,
-        in_specs=(tok_spec, tok_spec, tok_spec, mask_spec),
+        in_specs=(tok_spec, tok_spec, tok_spec),
         out_specs=tok_spec, check_vma=False,
     )
-    return f(q, k, v, key_mask)
+    return f(q, k, v)
 
 
 def attention(
@@ -295,15 +309,28 @@ def attention(
         # replicate the sharded operands (silently losing the parallelism)
         # or fail at compile. Route it through the shard_map wrapper with
         # the requested impl forced per shard. seq_axis_size() is 1 inside
-        # the shard_map body (Manual axis), so this cannot recurse.
-        from pixart_sigma_tpu.parallel.mesh import seq_axis_size
+        # the shard_map body (Manual axis), so this cannot recurse. When
+        # the tokens/batch don't divide the mesh axes (shard_map would
+        # reject them) fall back to the GSPMD-partitionable chunked path,
+        # mirroring auto dispatch.
+        from pixart_sigma_tpu.parallel.mesh import (
+            batch_shard_axes,
+            seq_axis_size,
+        )
 
-        if seq_axis_size() > 1:
+        seq = seq_axis_size()
+        if seq > 1:
             assert bias is None, "seq-sharded attention: dense bias unsupported"
-            return seq_sharded_attention(
-                q, k, v, key_mask=key_mask, fp32_softmax=fp32_softmax,
-                inner_impl=impl,
-            )
+            am = jax.sharding.get_abstract_mesh()
+            batch_div = 1
+            for a in batch_shard_axes():
+                batch_div *= int(am.shape[a])
+            if q.shape[1] % seq == 0 and q.shape[0] % batch_div == 0:
+                return seq_sharded_attention(
+                    q, k, v, key_mask=key_mask, fp32_softmax=fp32_softmax,
+                    inner_impl=impl,
+                )
+            return chunked_attention(q, k, v, key_mask=key_mask)
 
     if choice == "seqshard":
         assert bias is None, "seq-sharded attention: dense bias unsupported"

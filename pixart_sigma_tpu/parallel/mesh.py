@@ -74,7 +74,11 @@ def seq_axis_size(axis: str = "seq") -> int:
 def _axis_is_manual(am, axis: str) -> bool:
     try:
         idx = am.axis_names.index(axis)
-        return str(am.axis_types[idx]) == "Manual"
+        # str(AxisType.Manual) is "AxisType.Manual" (enum repr), so compare
+        # against the enum member itself, falling back to a suffix match
+        manual = getattr(jax.sharding.AxisType, "Manual", None)
+        t = am.axis_types[idx]
+        return t == manual or str(t).endswith("Manual")
     except Exception:
         return False
 
@@ -96,7 +100,7 @@ def batch_shard_axes(axis: str = "seq") -> tuple[str, ...]:
     return tuple(
         a
         for a in ("data", "fsdp")
-        if a in am.axis_names and int(am.shape[a]) > 1
+        if a != axis and a in am.axis_names and int(am.shape[a]) > 1
         and not _axis_is_manual(am, a)
     )
 

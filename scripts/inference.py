@@ -102,8 +102,14 @@ def main():
 
     if args.turbo:
         args.int8 = True
-        if args.block_cache_interval < 2:
-            args.block_cache_interval = 2
+        if args.sampling_algo == "dpm-solver":
+            if args.block_cache_interval < 2:
+                args.block_cache_interval = 2
+        else:
+            # block caching is a dpm-solver-only program; other samplers
+            # run int8-only rather than erroring (mirrors serve.py --turbo)
+            print(f"--turbo: {args.sampling_algo} does not support block "
+                  "caching; running int8 only", flush=True)
 
     if args.config:
         config = read_config(args.config)

@@ -402,7 +402,14 @@ def build_pipeline(args):
     overrides = {}
     if getattr(args, "int8", False) or getattr(args, "turbo", False):
         overrides["quant_int8"] = True
-    if getattr(args, "turbo", False) and not config.get("cache_span"):
+    wants_cache = (
+        getattr(args, "turbo", False)
+        or (getattr(args, "block_cache_interval", None) or 0) >= 2
+        or config.get("block_cache_interval", 0) >= 2
+    )
+    if wants_cache and not config.get("cache_span"):
+        # block caching needs scan-group boundaries in the model; without
+        # this the first dpm-solver request would 500 at runtime
         overrides["cache_span"] = (7, 21)
     model = build_model_from_config(config, **overrides)
     params = {"params": ckpt_io.load_checkpoint(
@@ -442,7 +449,7 @@ def build_pipeline(args):
         model, params, t5=t5, vae=vae, vae_params=vae_params,
         scale_factor=scale, base_resolution=res, mesh=mesh,
     )
-    return pipe, y_null_row, res
+    return pipe, y_null_row, res, config
 
 
 def main():
@@ -480,10 +487,8 @@ def main():
                    help="compile the default program before serving")
     args = p.parse_args()
 
-    pipe, y_null_row, res = build_pipeline(args)
-    from pixart_sigma_tpu.config import read_config
-
-    cfg_interval = read_config(args.config).get("block_cache_interval", 0)
+    pipe, y_null_row, res, config = build_pipeline(args)
+    cfg_interval = config.get("block_cache_interval", 0)
     interval = (
         args.block_cache_interval if args.block_cache_interval is not None
         else (2 if args.turbo else cfg_interval)

@@ -606,3 +606,60 @@ def test_ring_train_step_matches_dp(monkeypatch):
         )
     assert choice == "ring", choice
     _assert_train_pair_close(*_long_token_train_pair(64, 64, seq=4))
+
+
+def test_seq_axis_size_is_one_inside_shard_map():
+    """Root-cause regression for the round-5 review finding: jax 0.9's
+    str(AxisType.Manual) is 'AxisType.Manual', so a naive string compare
+    never detects Manual axes and seq_axis_size() returned the full axis
+    size inside shard_map — which made the explicit-Pallas-impl redirect
+    re-enter seq_sharded_attention and crash with a DuplicateSpecError."""
+    mesh = _seq_mesh(4)
+    with jax.set_mesh(mesh):
+        assert seq_axis_size() == 4
+        am = jax.sharding.get_abstract_mesh()
+
+        sizes = []
+
+        def body(x):
+            sizes.append(seq_axis_size())
+            return x
+
+        jax.jit(jax.shard_map(
+            body, mesh=am, in_specs=P("seq"), out_specs=P("seq")
+        ))(jnp.ones((8,)))
+    assert sizes == [1], sizes
+
+
+def test_model_level_ring_keeps_kv_token_sharded(monkeypatch):
+    """Round-5 review finding: the layer used to force K/V to P() (full
+    replication) under any seq mesh, so the ring gate's >1 GiB replicated
+    buffer was still materialised in-model. Now the layer consults the
+    dispatch choice: for ring, K/V stay token-sharded — the compiled HLO
+    must contain the ppermute ring and NO full-token K/V operand."""
+    import importlib
+
+    attn_mod = importlib.import_module("pixart_sigma_tpu.ops.attention")
+    monkeypatch.setattr(attn_mod, "RING_KV_BYTES", 1024)
+
+    cfg = _tiny_cfg(depth=1, hidden_size=32, num_heads=2)
+    model = PixArt(cfg)
+    rng = np.random.RandomState(41)
+    x = jnp.asarray(rng.randn(2, 64, 64, 4).astype(np.float32))  # 1024 tok
+    t = jnp.zeros((2,))
+    y = jnp.asarray(rng.randn(2, 8, 32).astype(np.float32))
+    mask = jnp.ones((2, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t, y, mask)
+    base = np.asarray(
+        jax.jit(lambda p, *a: model.apply(p, *a))(params, x, t, y, mask)
+    )
+    mesh = build_mesh(MeshConfig(data=1, seq=8))
+    with jax.set_mesh(mesh):
+        fn = jax.jit(lambda p, *a: model.apply(p, *a))
+        hlo = fn.lower(params, x, t, y, mask).compile().as_text()
+        got = np.asarray(fn(params, x, t, y, mask))
+    assert "collective-permute" in hlo, "ring not engaged in-model"
+    assert "f32[2,1024,2,16]" not in hlo, (
+        "full-token K/V operand materialised despite ring dispatch"
+    )
+    np.testing.assert_allclose(got, base, rtol=2e-5, atol=2e-5)
